@@ -1,0 +1,107 @@
+"""Deep Residual 3-D U-Net generator — the default VAN-GAN generator.
+
+Re-derivation of ``ResUNet`` (resunet_model.py:185-249) as a flax module:
+filter ladder ``[f, 2f, 4f, 8f, 16f]``, stem, ``num_layers`` stride-2
+pre-activation residual encoder blocks, two-conv-block bridge, nearest-upsample
+(or transposed-conv) + concat + residual decoder blocks, 1x1x1 tanh head.
+
+Reference divergence (documented, intentional): the reference's
+'deconv' upsample path reflect-pads *before* a valid 2x2x2 stride-2 transposed
+convolution (resunet_model.py:168-174), which produces ``2n+4`` voxels against
+a ``2n`` skip and cannot concatenate — it is unusable (VanGan always selects
+'simple', vangan.py:114,153). Our 'deconv' path omits the stray pad so both
+modes are shape-correct.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vangan_tpu.models.layers import (
+    AttentionConcat,
+    Dtype,
+    GaussianNoise,
+    PreActConvBlock,
+    ResUNetResidualBlock,
+    Stem,
+    conv_nd,
+    he_normal,
+    upsample_nearest,
+)
+
+
+class ResUNet3D(nn.Module):
+    """3-D residual U-Net (resunet_model.py:185-249 configuration surface)."""
+
+    upsample_mode: str = "deconv"  # 'deconv' or 'simple'
+    dropout: float = 0.2
+    dropout_change_per_layer: float = 0.0
+    dropout_type: str = "none"
+    use_attention_gate: bool = False
+    filters: int = 16
+    num_layers: int = 4
+    output_activation: Optional[str] = "tanh"
+    use_input_noise: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        f = [self.filters * (2**i) for i in range(self.num_layers + 1)]
+        x = x.astype(self.dtype or x.dtype)
+
+        if self.use_input_noise:
+            x = GaussianNoise(0.2, name="input_noise")(x, deterministic=not train)
+
+        x = Stem(f[0], dtype=self.dtype, name="stem")(x)
+        skips = [x]
+
+        # Encoder (resunet_model.py:230-233)
+        for e in range(1, self.num_layers + 1):
+            x = ResUNetResidualBlock(
+                f[e],
+                strides=2,
+                dropout_type=self.dropout_type,
+                dropout=self.dropout + (e - 1) * self.dropout_change_per_layer,
+                dtype=self.dtype,
+                name=f"enc{e}",
+            )(x, train=train)
+            skips.append(x)
+
+        # Bridge (resunet_model.py:236-238)
+        x = PreActConvBlock(f[-1], dtype=self.dtype, name="bridge1")(x)
+        x = PreActConvBlock(f[-1], dtype=self.dtype, name="bridge2")(x)
+
+        # Decoder (resunet_model.py:240-243)
+        for d in reversed(range(self.num_layers)):
+            if self.upsample_mode == "deconv":
+                x = nn.ConvTranspose(
+                    features=f[d + 1],
+                    kernel_size=(2, 2, 2),
+                    strides=(2, 2, 2),
+                    padding="VALID",
+                    kernel_init=he_normal(),
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"deconv{d}",
+                )(x)
+            else:
+                x = upsample_nearest(x, 2)
+            if self.use_attention_gate:
+                x = AttentionConcat(dtype=self.dtype, name=f"attn{d}")(x, skips[d])
+            else:
+                x = jnp.concatenate([x, skips[d]], axis=-1)
+            x = ResUNetResidualBlock(f[d], dtype=self.dtype, name=f"dec{d}")(x, train=train)
+
+        # Head (resunet_model.py:245)
+        x = conv_nd(1, 1, 1, "SAME", use_bias=True, dtype=self.dtype, name="head")(x)
+        x = x.astype(jnp.float32)
+        if self.output_activation == "tanh":
+            x = jnp.tanh(x)
+        elif self.output_activation == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.output_activation is not None:
+            raise ValueError(f"unknown output activation {self.output_activation!r}")
+        return x
