@@ -1,0 +1,227 @@
+"""Tests for the one-forward/one-backward GAN train step.
+
+The load-bearing test here is gradient *exactness*: the combined-scalar
+stop-gradient routing must produce bit-for-bit the same four restricted
+gradients as the reference semantics (four independent backward passes, each
+w.r.t. one network's parameters with every other network live —
+vangan.py:394-438).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vangan_tpu.config import VanGanConfig
+from vangan_tpu.losses import (
+    LossScales,
+    cycle_loss,
+    cycle_reconstruction,
+    cycle_seg_loss,
+    discriminator_loss_fn,
+    generator_loss_fn,
+)
+from vangan_tpu.models import PatchGANDiscriminator3D, ResUNet3D
+from vangan_tpu.training import VanGanState, make_step_fns
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        N_DEVICES=1,
+        BATCH_SIZE=2,
+        EPOCHS=2,
+        SUBVOL_PATCH_SIZE=(16, 16, 16),
+        compute_dtype="float32",
+        cldice_iters=2,
+        output_dir="/tmp/vg_test",
+    )
+    defaults.update(kw)
+    return VanGanConfig(**defaults)
+
+
+def tiny_models(deterministic=True, wasserstein=False):
+    """Small models; deterministic=True strips noise/dropout for grad tests."""
+    gen = dict(upsample_mode="simple", filters=4, num_layers=2, dropout_type="none")
+    disc = dict(
+        filters=8,
+        use_dropout=not deterministic,
+        use_input_noise=not deterministic,
+        use_layer_noise=not deterministic,
+        wasserstein=wasserstein,
+    )
+    return {
+        "gen_IS": ResUNet3D(**gen),
+        "gen_SI": ResUNet3D(**gen),
+        "disc_I": PatchGANDiscriminator3D(**disc),
+        "disc_S": PatchGANDiscriminator3D(**disc),
+    }
+
+
+def make_batch(rng, cfg):
+    real_I = rng.normal(size=(cfg.GLOBAL_BATCH_SIZE, *cfg.subvol_patch_shape)).astype(np.float32)
+    seg = (rng.uniform(size=(cfg.GLOBAL_BATCH_SIZE, *cfg.seg_subvol_patch_shape)) > 0.7).astype(
+        np.float32
+    )
+    real_S = 2 * seg - 1
+    return jnp.asarray(real_I), jnp.asarray(real_S)
+
+
+class TestGradientExactness:
+    def test_matches_four_independent_backwards(self, rng):
+        cfg = tiny_cfg()
+        models = tiny_models(deterministic=True)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        real_I, real_S = make_batch(rng, cfg)
+        key = jax.random.PRNGKey(7)
+        noise_std = jnp.zeros(())
+
+        # ours: one backward through the combined routed scalar
+        grads, _ = jax.grad(fns.compute_losses, argnums=0, has_aux=True)(
+            state.params, state.model_state, real_I, real_S, key, noise_std, True, None
+        )
+
+        # reference semantics: four losses WITHOUT any stop_gradient, each
+        # differentiated w.r.t. only its own network's parameters
+        scales = LossScales(global_batch_size=cfg.GLOBAL_BATCH_SIZE, n_devices=1,
+                            cldice_iters=cfg.cldice_iters)
+
+        def ref_losses(params):
+            ap = lambda name, x: models[name].apply({"params": params[name]}, x, train=True)
+            fake_S = ap("gen_IS", real_I)
+            fake_I = ap("gen_SI", real_S)
+            cycled_S = ap("gen_IS", fake_I)
+            cycled_I = ap("gen_SI", fake_S)
+            cl_I = cycle_loss(scales, real_S, cycled_S, "bce")
+            seg = cycle_seg_loss(scales, real_S, cycled_S)
+            cl_S = cycle_loss(scales, real_I, cycled_I, "mse")
+            rec = cycle_reconstruction(scales, real_I, cycled_I)
+            d = lambda name, x: models[name].apply(
+                {"params": params[name]}, x, train=True, noise_std=noise_std
+            )
+            d_real_S, d_fake_S = d("disc_S", real_S), d("disc_S", fake_S)
+            d_real_I, d_fake_I = d("disc_I", real_I), d("disc_I", fake_I)
+            total_I = generator_loss_fn(scales, d_fake_S) + cl_I + seg
+            total_S = generator_loss_fn(scales, d_fake_I) + cl_S + rec
+            dI = discriminator_loss_fn(scales, d_real_I, d_fake_I)
+            dS = discriminator_loss_fn(scales, d_real_S, d_fake_S)
+            return total_I, total_S, dI, dS
+
+        p = state.params
+        want = {
+            "gen_IS": jax.grad(lambda q: ref_losses({**p, "gen_IS": q})[0])(p["gen_IS"]),
+            "gen_SI": jax.grad(lambda q: ref_losses({**p, "gen_SI": q})[1])(p["gen_SI"]),
+            "disc_I": jax.grad(lambda q: ref_losses({**p, "disc_I": q})[2])(p["disc_I"]),
+            "disc_S": jax.grad(lambda q: ref_losses({**p, "disc_S": q})[3])(p["disc_S"]),
+        }
+        for name in ("gen_IS", "gen_SI", "disc_I", "disc_S"):
+            got_flat = jax.tree_util.tree_leaves(grads[name])
+            want_flat = jax.tree_util.tree_leaves(want[name])
+            assert len(got_flat) == len(want_flat)
+            for g, w in zip(got_flat, want_flat):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-6)
+
+
+class TestTrainStep:
+    def test_smoke_and_params_change(self, rng):
+        cfg = tiny_cfg()
+        models = tiny_models(deterministic=False)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        real_I, real_S = make_batch(rng, cfg)
+        step = jax.jit(fns.train_step)
+        new_state, result = step(
+            state, real_I, real_S, jax.random.PRNGKey(1), jnp.asarray(0.1), jnp.asarray(True)
+        )
+        for k, v in result.items():
+            assert np.isfinite(float(v)), k
+        assert int(new_state.step) == 1
+        # every network's params moved
+        for name in ("gen_IS", "gen_SI", "disc_I", "disc_S"):
+            before = jax.tree_util.tree_leaves(state.params[name])
+            after = jax.tree_util.tree_leaves(new_state.params[name])
+            assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(after, before))
+        # expected metric keys (vangan.py:338-351)
+        assert set(result) == {
+            "total_IS_loss", "total_SI_loss", "D_I_loss", "D_S_loss", "gen_IS_loss",
+            "gen_SI_loss", "cycle_gen_SIS_loss", "cycle_gen_ISI_loss", "seg_loss",
+            "reconstruction_loss_I",
+        }
+
+    def test_multiple_steps_reduce_disc_loss(self, rng):
+        """With frozen generators' input distribution, D should learn: D loss
+        after a few steps < first step."""
+        cfg = tiny_cfg()
+        models = tiny_models(deterministic=False)
+        fns = make_step_fns(cfg, models, steps_per_epoch=100)
+        state = fns.init(jax.random.PRNGKey(0))
+        real_I, real_S = make_batch(rng, cfg)
+        step = jax.jit(fns.train_step)
+        first = None
+        for i in range(5):
+            state, result = step(
+                state, real_I, real_S, jax.random.PRNGKey(i), jnp.asarray(0.0), jnp.asarray(True)
+            )
+            if first is None:
+                first = float(result["D_I_loss"]) + float(result["D_S_loss"])
+        last = float(result["D_I_loss"]) + float(result["D_S_loss"])
+        assert last < first
+
+    def test_test_step(self, rng):
+        cfg = tiny_cfg()
+        models = tiny_models(deterministic=False)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        real_I, real_S = make_batch(rng, cfg)
+        result = jax.jit(fns.test_step)(state, real_I, real_S, jax.random.PRNGKey(1))
+        assert all(np.isfinite(float(v)) for v in result.values())
+
+    def test_deterministic_given_same_rng(self, rng):
+        cfg = tiny_cfg()
+        models = tiny_models(deterministic=False)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        real_I, real_S = make_batch(rng, cfg)
+        step = jax.jit(fns.train_step)
+        s1, r1 = step(state, real_I, real_S, jax.random.PRNGKey(3), jnp.asarray(0.1), jnp.asarray(True))
+        s2, r2 = step(state, real_I, real_S, jax.random.PRNGKey(3), jnp.asarray(0.1), jnp.asarray(True))
+        for k in r1:
+            assert float(r1[k]) == float(r2[k])
+
+
+class TestWassersteinPath:
+    def test_ncritic_gating(self, rng):
+        cfg = tiny_cfg(wasserstein=True)
+        models = tiny_models(deterministic=False, wasserstein=True)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        real_I, real_S = make_batch(rng, cfg)
+        step = jax.jit(fns.train_step)
+        # update_gen=False: generators frozen, discriminators move
+        new_state, result = step(
+            state, real_I, real_S, jax.random.PRNGKey(1), jnp.asarray(0.1), jnp.asarray(False)
+        )
+        for name in ("gen_IS", "gen_SI"):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(new_state.params[name]),
+                jax.tree_util.tree_leaves(state.params[name]),
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for name in ("disc_I", "disc_S"):
+            before = jax.tree_util.tree_leaves(state.params[name])
+            after = jax.tree_util.tree_leaves(new_state.params[name])
+            assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(after, before))
+        # wasserstein output heads give finite losses; GP disabled at step 0
+        assert np.isfinite(float(result["D_I_loss"]))
+
+    def test_gp_active_after_first_step(self, rng):
+        cfg = tiny_cfg(wasserstein=True)
+        models = tiny_models(deterministic=False, wasserstein=True)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        real_I, real_S = make_batch(rng, cfg)
+        step = jax.jit(fns.train_step)
+        state1, r0 = step(state, real_I, real_S, jax.random.PRNGKey(1), jnp.asarray(0.1), jnp.asarray(True))
+        _, r1 = step(state1, real_I, real_S, jax.random.PRNGKey(1), jnp.asarray(0.1), jnp.asarray(True))
+        assert np.isfinite(float(r1["D_I_loss"]))
+        assert np.isfinite(float(r1["D_S_loss"]))

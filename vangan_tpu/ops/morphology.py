@@ -22,11 +22,15 @@ from jax import lax
 
 
 def _pool(img: jnp.ndarray, window: tuple, reducer, init: float) -> jnp.ndarray:
-    """Stride-1 'SAME' window reduction over spatial dims of a channels-last tensor."""
+    """Stride-1 'SAME' window reduction over spatial dims of a channels-last tensor.
+
+    ``init`` must stay a Python literal: reduce_window's autodiff rule (and its
+    linearization under lax.scan) requires a literal init value.
+    """
     full_window = (1, *window, 1)
     return lax.reduce_window(
         img,
-        init_value=jnp.asarray(init, img.dtype),
+        init_value=init,
         computation=reducer,
         window_dimensions=full_window,
         window_strides=(1,) * img.ndim,
@@ -71,14 +75,17 @@ def soft_skel(img: jnp.ndarray, iters: int) -> jnp.ndarray:
     img1 = soft_open(img)
     skel = jax.nn.relu(img - img1)
 
-    def body(_, carry):
+    @jax.checkpoint  # recompute pools in backward: keeps scan residuals O(volume)
+    def body(carry, _):
         img, skel = carry
         img = soft_erode(img)
         img1 = soft_open(img)
         delta = jax.nn.relu(img - img1)
         intersect = skel * delta
         skel = skel + jax.nn.relu(delta - intersect)
-        return (img, skel)
+        return (img, skel), None
 
-    _, skel = lax.fori_loop(0, iters, body, (img, skel))
+    # lax.scan (not fori_loop): the loss path differentiates through the
+    # skeleton (vangan.py:304), and scan supports reverse-mode.
+    (_, skel), _ = lax.scan(body, (img, skel), None, length=iters)
     return skel

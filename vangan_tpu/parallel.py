@@ -1,0 +1,80 @@
+"""Device mesh + sharding for data-parallel training.
+
+TPU-native replacement for the reference's ``tf.distribute.MirroredStrategy``
+(main.py:22, vangan.py:475-507): a 1-D ``jax.sharding.Mesh`` over the data
+axis. The train step is a single jit-compiled global-batch program; GSPMD
+shards the batch across devices and inserts the gradient all-reduce
+(the NCCL all-reduce implicit in ``optimizer.minimize`` under
+``strategy.run``) as XLA collectives over ICI. Parameters and optimizer state
+are replicated.
+
+The clDice group reduction (losses/cldice.py:soft_dice_cldice_grouped) aligns
+its groups with the device shards, so each group's skeleton pipeline stays
+chip-local.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
+              devices: Optional[Sequence] = None) -> Mesh:
+    """A 1-D data mesh over the first ``n_devices`` devices (default: all)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def put_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree onto every device of the mesh."""
+    sharding = replicated(mesh)
+    return jax.device_put(tree, sharding)
+
+
+def put_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Shard a (global-batch-leading) array pytree across the data axis."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.device_put(batch, sharding)
+
+
+def jit_train_step(fns, mesh: Mesh, donate: bool = True, axis_name: str = "data"):
+    """Jit the train step with explicit DP shardings.
+
+    in: state (replicated), real_I/real_S (batch-sharded), rng/noise_std/
+    update_gen (replicated); out: state replicated, result dict replicated.
+    """
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        fns.train_step,
+        in_shardings=(repl, bsh, bsh, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def jit_test_step(fns, mesh: Mesh, axis_name: str = "data"):
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        fns.test_step,
+        in_shardings=(repl, bsh, bsh, repl),
+        out_shardings=repl,
+    )

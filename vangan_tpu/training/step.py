@@ -1,0 +1,297 @@
+"""The jit-compiled VAN-GAN train/test step.
+
+TPU-native re-derivation of the reference's persistent-GradientTape step
+(vangan.py:270-440). The reference records one forward and pulls FOUR separate
+backward passes (one per optimizer.minimize). Here the four restricted
+gradients are computed in ONE forward + ONE backward: a combined scalar loss
+with `stop_gradient` inserted exactly where the reference's per-optimizer
+``var_list`` restriction discards gradients:
+
+- cycle/seg losses:      grads flow to the *outer* generator only — the inner
+                         generator's output is stop_gradient'ed (the reference
+                         discards inner-generator grads because each cycle loss
+                         sits in only one total loss, vangan.py:335-336).
+- adversarial gen loss:  D applied with stop_gradient'ed *parameters* so the
+                         gradient flows through the fake image into the
+                         generator only.
+- discriminator loss:    D applied to stop_gradient'ed *fakes* so the gradient
+                         reaches only D's parameters.
+
+The two D applications per fake share identical RNGs, so their forward values
+coincide (and XLA CSEs the computation); their backward halves are exactly the
+input-cotangent and parameter-cotangent of the reference's single application.
+Exactness vs four independent ``jax.grad`` calls is asserted in
+tests/test_train_step.py.
+
+Reference divergences (documented):
+- WGAN-GP: the reference computes the penalty *outside* its GradientTape
+  (vangan.py:410-415 after the `with` block), so the GP term contributes no
+  gradient; and routes both domains through disc_S (vangan.py:370-373). Here
+  the GP is inside the differentiated loss and uses the matching
+  discriminator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vangan_tpu.losses import (
+    LossScales,
+    cycle_loss,
+    cycle_reconstruction,
+    cycle_seg_loss,
+    discriminator_loss_fn,
+    generator_loss_fn,
+    gradient_penalty,
+    wasserstein_discriminator_loss,
+    wasserstein_generator_loss,
+)
+from vangan_tpu.training.state import NETWORKS, VanGanState
+
+Params = Any
+sg = jax.lax.stop_gradient
+
+
+def _sg_tree(tree):
+    return jax.tree_util.tree_map(sg, tree)
+
+
+@dataclass(frozen=True)
+class TrainStepFns:
+    """Step functions + initializer (pure; caller applies jit/sharding)."""
+
+    init: Callable
+    train_step: Callable
+    test_step: Callable
+    compute_losses: Callable  # exposed for gradient-exactness tests & debugging
+
+
+def _apply(model, params, model_state, x, train, rng, **kwargs):
+    """Apply a flax model, threading mutable collections (BN/spectral-norm)."""
+    variables = {"params": params, **model_state}
+    rngs = {"dropout": jax.random.fold_in(rng, 0), "noise": jax.random.fold_in(rng, 1)}
+    mutable = list(model_state.keys()) if (train and model_state) else False
+    if mutable:
+        y, updates = model.apply(variables, x, train=train, rngs=rngs, mutable=mutable, **kwargs)
+        return y, dict(updates)
+    y = model.apply(variables, x, train=train, rngs=rngs, **kwargs)
+    return y, model_state
+
+
+def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainStepFns:
+    """Build init/train/test step functions for the four-network system.
+
+    ``models`` maps NETWORKS names to flax modules (from models.factory).
+    The returned functions are pure and jit-friendly; jitting/sharding is
+    applied by the caller (vangan.VanGan / parallel.shard_step).
+    """
+    from vangan_tpu.training.optimizers import make_optimizer
+
+    scales = LossScales(
+        global_batch_size=cfg.GLOBAL_BATCH_SIZE,
+        n_devices=cfg.N_DEVICES,
+        lambda_cycle=cfg.lambda_cycle,
+        lambda_identity=cfg.lambda_identity,
+        lambda_reconstruction=cfg.lambda_reconstruction,
+        lambda_topology=cfg.lambda_topology,
+        cldice_iters=cfg.cldice_iters,
+        cldice_alpha=cfg.cldice_alpha,
+        cldice_groups=cfg.cldice_groups,
+    )
+    optimizer = make_optimizer(cfg, steps_per_epoch)
+
+    def init(rng: jax.Array) -> VanGanState:
+        """Initialise all four networks and optimizer states (vangan.py:86-245)."""
+        img_shape = (1, *cfg.subvol_patch_shape)
+        seg_shape = (1, *cfg.seg_subvol_patch_shape)
+        dummies = {
+            "gen_IS": jnp.zeros(img_shape, jnp.float32),
+            "gen_SI": jnp.zeros(seg_shape, jnp.float32),
+            "disc_I": jnp.zeros(img_shape, jnp.float32),
+            "disc_S": jnp.zeros(seg_shape, jnp.float32),
+        }
+        params, model_state, opt_state = {}, {}, {}
+        for i, name in enumerate(NETWORKS):
+            variables = models[name].init(
+                {"params": jax.random.fold_in(rng, i)}, dummies[name], train=False
+            )
+            variables = dict(variables)
+            params[name] = variables.pop("params")
+            model_state[name] = variables  # batch_stats etc., usually {}
+            opt_state[name] = optimizer.init(params[name])
+        return VanGanState(
+            step=jnp.zeros((), jnp.int32), params=params, model_state=model_state,
+            opt_state=opt_state,
+        )
+
+    def compute_losses(
+        params: Dict[str, Params],
+        model_state: Dict[str, Any],
+        real_I: jnp.ndarray,
+        real_S: jnp.ndarray,
+        rng: jax.Array,
+        noise_std: jnp.ndarray,
+        train: bool,
+        gp_scale: Optional[jnp.ndarray] = None,
+    ):
+        """One shared forward of the full CycleGAN graph (vangan.py:270-353),
+        with the stop_gradient routing described in the module docstring.
+        Returns (combined_scalar_loss, (result_dict, new_model_state))."""
+        r = {name: jax.random.fold_in(rng, i) for i, name in enumerate(
+            ("gIS_a", "gSI_a", "gIS_b", "gSI_b", "dS_r", "dI_r", "dS_f", "dI_f", "gp_I", "gp_S")
+        )}
+        new_ms = dict(model_state)
+
+        # A -> B, B -> A (vangan.py:295-297)
+        fake_S, new_ms["gen_IS"] = _apply(
+            models["gen_IS"], params["gen_IS"], model_state["gen_IS"], real_I, train, r["gIS_a"]
+        )
+        fake_I, new_ms["gen_SI"] = _apply(
+            models["gen_SI"], params["gen_SI"], model_state["gen_SI"], real_S, train, r["gSI_a"]
+        )
+
+        # Cycles (vangan.py:300-308); inner-generator output stopped.
+        cycled_S, new_ms["gen_IS"] = _apply(
+            models["gen_IS"], params["gen_IS"], new_ms["gen_IS"], sg(fake_I), train, r["gIS_b"]
+        )
+        cycled_I, new_ms["gen_SI"] = _apply(
+            models["gen_SI"], params["gen_SI"], new_ms["gen_SI"], sg(fake_S), train, r["gSI_b"]
+        )
+
+        cycle_loss_I = cycle_loss(scales, real_S, cycled_S, typ=cfg.cycle_loss_I_type)
+        seg_loss = cycle_seg_loss(scales, real_S, cycled_S)
+        cycle_loss_S = cycle_loss(scales, real_I, cycled_I, typ=cfg.cycle_loss_S_type)
+        reconstruction_loss = cycle_reconstruction(scales, real_I, cycled_I)
+
+        # Discriminator outputs (vangan.py:315-319). Each fake is judged twice
+        # with IDENTICAL rngs: once with frozen D params (generator branch) and
+        # once with frozen fake (discriminator branch).
+        def disc(name, p, x, key):
+            y, new_ms[name] = _apply(models[name], p, new_ms[name], x, train, key,
+                                     noise_std=noise_std)
+            return y
+
+        disc_real_S = disc("disc_S", params["disc_S"], real_S, r["dS_r"])
+        disc_real_I = disc("disc_I", params["disc_I"], real_I, r["dI_r"])
+        disc_fake_S_gen = disc("disc_S", _sg_tree(params["disc_S"]), fake_S, r["dS_f"])
+        disc_fake_S_dis = disc("disc_S", params["disc_S"], sg(fake_S), r["dS_f"])
+        disc_fake_I_gen = disc("disc_I", _sg_tree(params["disc_I"]), fake_I, r["dI_f"])
+        disc_fake_I_dis = disc("disc_I", params["disc_I"], sg(fake_I), r["dI_f"])
+
+        # Adversarial losses (vangan.py:322-332)
+        if cfg.wasserstein:
+            gen_IS_loss = wasserstein_generator_loss(scales, disc_fake_S_gen)
+            gen_SI_loss = wasserstein_generator_loss(scales, disc_fake_I_gen)
+            disc_I_loss = wasserstein_discriminator_loss(scales, disc_real_I, disc_fake_I_dis)
+            disc_S_loss = wasserstein_discriminator_loss(scales, disc_real_S, disc_fake_S_dis)
+        else:
+            gen_IS_loss = generator_loss_fn(scales, disc_fake_S_gen)
+            gen_SI_loss = generator_loss_fn(scales, disc_fake_I_gen)
+            disc_I_loss = discriminator_loss_fn(scales, disc_real_I, disc_fake_I_dis)
+            disc_S_loss = discriminator_loss_fn(scales, disc_real_S, disc_fake_S_dis)
+
+        total_loss_I = gen_IS_loss + cycle_loss_I + seg_loss
+        total_loss_S = gen_SI_loss + cycle_loss_S + reconstruction_loss
+
+        disc_I_total, disc_S_total = disc_I_loss, disc_S_loss
+        if cfg.wasserstein and gp_scale is not None:
+            # WGAN-GP on the matching discriminator (divergence: see module doc).
+            # Closures must be side-effect free (they run under an inner
+            # jax.grad), so state updates are discarded.
+            def d_I(x):
+                y, _ = _apply(models["disc_I"], params["disc_I"], new_ms["disc_I"], x, train,
+                              r["gp_I"], noise_std=noise_std)
+                return y
+
+            def d_S(x):
+                y, _ = _apply(models["disc_S"], params["disc_S"], new_ms["disc_S"], x, train,
+                              r["gp_S"], noise_std=noise_std)
+                return y
+
+            gp_I = gradient_penalty(scales, d_I, real_I, sg(fake_I), r["gp_I"])
+            gp_S = gradient_penalty(scales, d_S, real_S, sg(fake_S), r["gp_S"])
+            disc_I_total = disc_I_loss + gp_scale * gp_I
+            disc_S_total = disc_S_loss + gp_scale * gp_S
+
+        result = {
+            "total_IS_loss": total_loss_I,
+            "total_SI_loss": total_loss_S,
+            "D_I_loss": disc_I_total,
+            "D_S_loss": disc_S_total,
+            "gen_IS_loss": gen_IS_loss,
+            "gen_SI_loss": gen_SI_loss,
+            "cycle_gen_SIS_loss": cycle_loss_I,
+            "cycle_gen_ISI_loss": cycle_loss_S,
+            "seg_loss": seg_loss,
+            "reconstruction_loss_I": reconstruction_loss,
+        }
+        combined = total_loss_I + total_loss_S + disc_I_total + disc_S_total
+        return combined, (result, new_ms)
+
+    def train_step(
+        state: VanGanState,
+        real_I: jnp.ndarray,
+        real_S: jnp.ndarray,
+        rng: jax.Array,
+        noise_std: jnp.ndarray,
+        update_gen: jnp.ndarray,
+    ) -> Tuple[VanGanState, Dict[str, jnp.ndarray]]:
+        """One optimization step for all four networks (vangan.py:380-440).
+
+        ``update_gen`` gates the generator updates (WGAN ncritic, vangan.py:400-408);
+        the LSGAN path passes True every step (vangan.py:426-431). ``noise_std``
+        is the epoch-scheduled discriminator noise σ.
+        """
+        gp_scale = None
+        if cfg.wasserstein:
+            # GP active from the second step (initModel flag, vangan.py:410-415)
+            gp_scale = jnp.where(state.step > 0, cfg.gp_weight, 0.0)
+
+        grad_fn = jax.grad(compute_losses, argnums=0, has_aux=True)
+        grads, (result, new_ms) = grad_fn(
+            state.params, state.model_state, real_I, real_S,
+            jax.random.fold_in(rng, state.step), noise_std, True, gp_scale,
+        )
+
+        new_params, new_opt = {}, {}
+        for name in NETWORKS:
+            updates, opt_state = optimizer.update(
+                grads[name], state.opt_state[name], state.params[name]
+            )
+            candidate = optax.apply_updates(state.params[name], updates)
+            if name.startswith("gen"):
+                # gated generator update: parameters and optimizer state only
+                # advance when update_gen is set (vangan.py:402-408)
+                keep = update_gen
+                candidate = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(keep, new, old), candidate, state.params[name]
+                )
+                opt_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(keep, new, old), opt_state, state.opt_state[name]
+                )
+            new_params[name] = candidate
+            new_opt[name] = opt_state
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, model_state=new_ms, opt_state=new_opt
+        )
+        return new_state, result
+
+    def test_step(
+        state: VanGanState, real_I: jnp.ndarray, real_S: jnp.ndarray, rng: jax.Array
+    ) -> Dict[str, jnp.ndarray]:
+        """Loss evaluation without gradients (vangan.py:442-457)."""
+        _, (result, _) = compute_losses(
+            state.params, state.model_state, real_I, real_S, rng,
+            jnp.zeros((), jnp.float32), False, None,
+        )
+        return result
+
+    return TrainStepFns(
+        init=init, train_step=train_step, test_step=test_step, compute_losses=compute_losses
+    )
