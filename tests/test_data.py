@@ -1,0 +1,193 @@
+"""Tests for the host data pipeline: crops, rejection sampling, augmentation,
+OTF normalisation, preprocessing."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from vangan_tpu.config import VanGanConfig
+from vangan_tpu.data.pipeline import (
+    VanGanDataset,
+    minmax_to_pm1_np,
+    random_crop,
+    random_spatial_augmentation,
+)
+from vangan_tpu.data.preprocess import DataPreprocessor, check_nan, resize_volume
+
+
+def make_volumes(tmp_path, n, shape=(24, 24, 16, 1), seg=False, seed=0):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(n):
+        if seg:
+            v = (rng.uniform(size=shape) > 0.9).astype(np.float32) * 2 - 1
+        else:
+            v = rng.normal(size=shape).astype(np.float32)
+        p = tmp_path / f"vol{i}.npy"
+        np.save(p, v)
+        paths.append(str(p))
+    return paths
+
+
+def tiny_cfg(**kw):
+    d = dict(N_DEVICES=1, BATCH_SIZE=2, SUBVOL_PATCH_SIZE=(8, 8, 8), output_dir="/tmp/vg_test")
+    d.update(kw)
+    return VanGanConfig(**d)
+
+
+class TestCropsAndAugment:
+    def test_random_crop_shape_and_content(self, rng):
+        vol = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        crop = random_crop(vol, (8, 8, 8, 1), np.random.default_rng(0))
+        assert crop.shape == (8, 8, 8, 1)
+        # crop must be a contiguous subvolume of vol
+        found = False
+        for i in range(13):
+            for j in range(13):
+                for k in range(5):
+                    if np.array_equal(vol[i : i + 8, j : j + 8, k : k + 8], crop):
+                        found = True
+        assert found
+
+    def test_augment_preserves_multiset(self, rng):
+        arr = rng.normal(size=(8, 8, 8, 1)).astype(np.float32)
+        out = random_spatial_augmentation(arr, np.random.default_rng(3))
+        assert out.shape == arr.shape
+        np.testing.assert_allclose(np.sort(out.ravel()), np.sort(arr.ravel()))
+
+    def test_augment_depth_preserving_keeps_x_axis(self, rng):
+        """preserve_depth_orientation: no rot90, so the x-axis (dim 0) slices
+        are permuted within the (y,z) plane only."""
+        arr = rng.normal(size=(6, 6, 6, 1)).astype(np.float32)
+        out = random_spatial_augmentation(arr, np.random.default_rng(5),
+                                          preserve_depth_orientation=True)
+        for i in range(6):
+            np.testing.assert_allclose(np.sort(out[i].ravel()), np.sort(arr[i].ravel()))
+
+    def test_minmax_to_pm1(self, rng):
+        b = rng.uniform(3, 9, size=(4, 6, 6, 6, 1)).astype(np.float32)
+        out = minmax_to_pm1_np(b)
+        for i in range(4):
+            assert out[i].min() == pytest.approx(-1.0, abs=1e-6)
+            assert out[i].max() == pytest.approx(1.0, abs=1e-6)
+
+
+class TestDataset:
+    def test_train_batches_shapes_and_rejection(self, tmp_path):
+        cfg = tiny_cfg()
+        img = make_volumes(tmp_path / "img", 4, seed=1)
+        seg = make_volumes(tmp_path / "seg", 4, seg=True, seed=2)
+        (tmp_path / "img").mkdir(exist_ok=True)
+        ds = VanGanDataset(
+            cfg,
+            {"training": img, "validation": img},
+            {"training": seg, "validation": seg},
+            seed=0,
+        )
+        it = ds.train_batches(prefetch=1)
+        for _ in range(3):
+            real_I, real_S = next(it)
+            assert real_I.shape == (2, 8, 8, 8, 1)
+            assert real_S.shape == (2, 8, 8, 8, 1)
+            assert real_I.dtype == np.float32
+            # OTF per-sample norm to [-1, 1]
+            for b in range(2):
+                assert real_I[b].min() == pytest.approx(-1.0, abs=1e-5)
+                assert real_I[b].max() == pytest.approx(1.0, abs=1e-5)
+            # rejection sampling: every seg patch contains a vessel voxel
+            assert (real_S.reshape(2, -1).max(axis=1) >= cfg.SEG_THRESH).all()
+        ds.close()
+
+    def test_val_full_volume_sampler(self, tmp_path):
+        cfg = tiny_cfg()
+        img = make_volumes(tmp_path / "i2", 3, seed=3)
+        seg = make_volumes(tmp_path / "s2", 3, seg=True, seed=4)
+        ds = VanGanDataset(
+            cfg, {"training": img, "validation": img}, {"training": seg, "validation": seg}
+        )
+        vol, idx = next(ds.imaging_val_full())
+        assert vol.shape == (24, 24, 16, 1)
+        assert 0 <= idx < 3
+
+    def test_steps_per_epoch_parity(self, tmp_path):
+        cfg = tiny_cfg()
+        img = make_volumes(tmp_path / "i3", 7, seed=5)
+        seg = make_volumes(tmp_path / "s3", 5, seg=True, seed=6)
+        ds = VanGanDataset(
+            cfg, {"training": img, "validation": img[:2]},
+            {"training": seg, "validation": seg[:2]},
+        )
+        # max(7,5)/2 = 3 (main.py:189-193)
+        assert ds.train_steps == 3
+        assert ds.val_steps == 1
+
+
+def _write_tiff_stack(path, arr_zyx):
+    import imageio.v3 as iio
+
+    iio.imwrite(path, arr_zyx)
+
+
+class TestPreprocessor:
+    def test_imaging_roundtrip(self, tmp_path, rng):
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        for i in range(3):
+            vol = (rng.uniform(size=(6, 12, 10)) * 255).astype(np.float32)  # (z, y, x)
+            _write_tiff_stack(str(raw / f"v{i}.tiff"), vol)
+        main = tmp_path / "out"
+        main.mkdir()
+        pre = DataPreprocessor(
+            raw_path=str(raw), main_dir=str(main), partition_id="A",
+            partition_filename="dataA_partition.pkl", tiff_size=(12, 10, 6),
+            target_size=(12, 10, 6), domain="imaging", num_workers=1, seed=0,
+        )
+        pre.preprocess()
+        with open(main / "dataA_partition.pkl", "rb") as f:
+            part = pickle.load(f)
+        assert set(part) == {"training", "validation", "testing"}
+        total = sum(len(v) for v in part.values())
+        assert total == 3
+        some = [p for v in part.values() for p in v]
+        loaded = np.load(some[0])
+        assert loaded.shape == (12, 10, 6, 1)  # (y,x,z)->transposed (1,2,0), +channel
+        assert loaded.min() == pytest.approx(-1.0, abs=1e-6)
+        assert loaded.max() == pytest.approx(1.0, abs=1e-6)
+
+    def test_segmentation_binarisation_and_polarity(self, tmp_path):
+        raw = tmp_path / "rawS"
+        raw.mkdir()
+        # background = 255 (mode), vessels = 0 -> polarity fix should invert
+        vol = np.full((4, 8, 8), 255.0, dtype=np.float32)
+        vol[:, 2:4, 2:4] = 0.0
+        _write_tiff_stack(str(raw / "s0.tiff"), vol)
+        main = tmp_path / "outS"
+        main.mkdir()
+        pre = DataPreprocessor(
+            raw_path=str(raw), main_dir=str(main), partition_id="S",
+            partition_filename="dataS_partition.pkl", tiff_size=(8, 8, 4),
+            target_size=(8, 8, 4), domain="segmentation", num_workers=1, seed=0,
+        )
+        pre.preprocess()
+        files = []
+        for split in ("trainS", "valS", "testS"):
+            d = main / split
+            if d.is_dir():
+                files += [d / f for f in os.listdir(d)]
+        arr = np.load(files[0])
+        assert set(np.unique(arr)) <= {-1.0, 1.0}
+        # vessels (originally 0) must be +1 after polarity fix
+        assert arr[2, 2, 0, 0] == 1.0
+        assert arr[0, 0, 0, 0] == -1.0
+
+    def test_resize_volume_shape(self, rng):
+        img = rng.uniform(size=(16, 16, 8)).astype(np.float32)
+        out = resize_volume(img, (8, 8, 4))
+        assert out.shape == (8, 8, 4)
+
+    def test_check_nan(self):
+        assert not check_nan(np.zeros(3))
+        assert check_nan(np.asarray([1.0, np.nan]))

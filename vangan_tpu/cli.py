@@ -1,0 +1,169 @@
+"""Command-line interface: preprocess / train / predict / sweep.
+
+The reference has no CLI — ``main.py`` is an executable script doubling as the
+config (SURVEY.md §1). Here the same recipe is driven from a YAML config:
+
+    python -m vangan_tpu preprocess --config cfg.yaml \
+        --imaging-raw RAW_A --seg-raw RAW_B --data-dir DATA
+    python -m vangan_tpu train --config cfg.yaml --data-dir DATA
+    python -m vangan_tpu predict --config cfg.yaml --input DIR --output DIR \
+        [--fake-imaging] [--epoch N]
+    python -m vangan_tpu sweep --config cfg.yaml --input DIR --start 100 --end 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from vangan_tpu.config import VanGanConfig, save_args
+
+
+def _load_cfg(args) -> VanGanConfig:
+    cfg = VanGanConfig.from_yaml(args.config) if args.config else VanGanConfig()
+    if getattr(args, "output_dir", None):
+        cfg.output_dir = args.output_dir
+    return cfg
+
+
+def _load_partitions(cfg, data_dir):
+    from vangan_tpu.data.preprocess import DataPreprocessor
+
+    imaging = DataPreprocessor(cfg, partition_id="A", domain="imaging")
+    imaging.load_partition(os.path.join(data_dir, "dataA_partition.pkl"))
+    seg = DataPreprocessor(cfg, partition_id="B", domain="segmentation")
+    seg.load_partition(os.path.join(data_dir, "dataB_partition.pkl"))
+    return imaging, seg
+
+
+def cmd_preprocess(args) -> None:
+    cfg = _load_cfg(args)
+    from vangan_tpu.data.preprocess import DataPreprocessor
+
+    imaging = DataPreprocessor(
+        cfg, raw_path=args.imaging_raw, main_dir=args.data_dir, partition_id="A",
+        partition_filename="dataA_partition.pkl", tiff_size=cfg.RAW_IMG_SIZE,
+        target_size=cfg.TARG_RAW_IMG_SIZE, domain="imaging", seed=cfg.seed,
+    )
+    imaging.preprocess(resize=args.resize)
+    seg = DataPreprocessor(
+        cfg, raw_path=args.seg_raw, main_dir=args.data_dir, partition_id="B",
+        partition_filename="dataB_partition.pkl", tiff_size=cfg.SYNTH_IMG_SIZE,
+        target_size=cfg.TARG_SYNTH_IMG_SIZE, domain="segmentation", seed=cfg.seed,
+    )
+    seg.preprocess(resize=args.resize)
+
+
+def cmd_train(args) -> None:
+    cfg = _load_cfg(args)
+    import jax
+
+    cfg.N_DEVICES = min(cfg.N_DEVICES or len(jax.devices()), len(jax.devices()))
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    from vangan_tpu.data.pipeline import VanGanDataset
+    from vangan_tpu.monitor import GanMonitor, TBSummary
+    from vangan_tpu.training.loop import fit
+    from vangan_tpu.vangan import VanGan
+
+    imaging, seg = _load_partitions(cfg, args.data_dir)
+    dataset = VanGanDataset(cfg, imaging.partition, seg.partition, seed=cfg.seed)
+    summary = TBSummary(os.path.join(cfg.output_dir, "TB_Logs"))
+    gan = VanGan(cfg, steps_per_epoch=dataset.train_steps)
+    monitor = GanMonitor(
+        cfg, dataset=dataset, imaging_val_data=imaging.partition["validation"],
+        segmentation_val_data=seg.partition["validation"],
+        monitor_dir=os.path.join(cfg.output_dir, "GANMonitor"),
+    )
+    save_args(cfg, os.path.join(cfg.output_dir, "Args_Settings.txt"))
+
+    start_epoch = 0
+    if args.resume_epoch is not None:
+        gan.load_checkpoint(epoch=args.resume_epoch)
+        start_epoch = args.resume_epoch
+    fit(cfg, gan, dataset, summary, monitor, start_epoch=start_epoch)
+
+    # post-training test-set inference (main.py:237-243)
+    if args.predict_after:
+        from vangan_tpu.inference import run_mapping
+
+        run_mapping(gan, imaging.partition["testing"], cfg.INPUT_IMG_SIZE, filetext="VANGAN_",
+                    filepath=cfg.output_dir, segmentation=True, stride=(25, 25, 25))
+        run_mapping(gan, seg.partition["testing"], cfg.INPUT_IMG_SIZE, filetext="VANGAN_",
+                    filepath=cfg.output_dir, segmentation=False, stride=(25, 25, 25))
+
+
+def cmd_predict(args) -> None:
+    cfg = _load_cfg(args)
+    from vangan_tpu.inference import run_mapping
+    from vangan_tpu.vangan import VanGan
+
+    gan = VanGan(cfg, steps_per_epoch=1)
+    if args.epoch is not None:
+        gan.load_checkpoint(epoch=args.epoch)
+    files = [os.path.join(args.input, f) for f in sorted(os.listdir(args.input))
+             if f.endswith(".npy")]
+    os.makedirs(args.output, exist_ok=True)
+    run_mapping(gan, files, cfg.INPUT_IMG_SIZE, filetext="VANGAN_", filepath=args.output,
+                segmentation=not args.fake_imaging, stride=tuple(args.stride))
+
+
+def cmd_sweep(args) -> None:
+    cfg = _load_cfg(args)
+    from vangan_tpu.inference import epoch_sweep
+    from vangan_tpu.vangan import VanGan
+
+    gan = VanGan(cfg, steps_per_epoch=1)
+    epoch_sweep(cfg, gan, args.input, start=args.start, end=args.end, step=args.step,
+                segmentation=not args.fake_imaging)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="vangan_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("preprocess", help="TIFF -> npy + partitions")
+    pp.add_argument("--config", default=None)
+    pp.add_argument("--imaging-raw", required=True)
+    pp.add_argument("--seg-raw", required=True)
+    pp.add_argument("--data-dir", required=True)
+    pp.add_argument("--resize", action="store_true")
+    pp.set_defaults(fn=cmd_preprocess)
+
+    pt = sub.add_parser("train", help="train VAN-GAN")
+    pt.add_argument("--config", default=None)
+    pt.add_argument("--data-dir", required=True)
+    pt.add_argument("--output-dir", default=None)
+    pt.add_argument("--resume-epoch", type=int, default=None)
+    pt.add_argument("--predict-after", action="store_true")
+    pt.set_defaults(fn=cmd_train)
+
+    pr = sub.add_parser("predict", help="sliding-window inference on .npy volumes")
+    pr.add_argument("--config", default=None)
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--epoch", type=int, default=None)
+    pr.add_argument("--fake-imaging", action="store_true")
+    pr.add_argument("--stride", type=int, nargs=3, default=(25, 25, 25))
+    pr.add_argument("--output-dir", default=None)
+    pr.set_defaults(fn=cmd_predict)
+
+    ps = sub.add_parser("sweep", help="epoch sweep over checkpoints")
+    ps.add_argument("--config", default=None)
+    ps.add_argument("--input", required=True)
+    ps.add_argument("--start", type=int, default=100)
+    ps.add_argument("--end", type=int, default=200)
+    ps.add_argument("--step", type=int, default=2)
+    ps.add_argument("--fake-imaging", action="store_true")
+    ps.add_argument("--output-dir", default=None)
+    ps.set_defaults(fn=cmd_sweep)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

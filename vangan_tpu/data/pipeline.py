@@ -1,0 +1,239 @@
+"""Online training data pipeline: unpaired imaging/segmentation patch streams.
+
+Host-side equivalent of the reference's ``DatasetGen`` (dataset.py:11-251) with
+TPU-oriented IO:
+
+- volumes are opened with ``np.load(mmap_mode='r')`` and only the sampled
+  128^3 crop is materialised — the reference reloads the full volume
+  (~134 MB at 512x512x128) for every single crop (dataset.py:156);
+- batches are assembled by a background prefetch thread into a bounded queue
+  (the tf.data ``prefetch(AUTOTUNE)`` equivalent) so host IO overlaps device
+  compute;
+- the rejection-sampled foreground crop keeps the reference contract: accept
+  when ``max(crop) >= SEG_THRESH (0.8)``, at most 200 tries
+  (dataset.py:229-251).
+
+Augmentation axis note: the reference feeds 4-D ``(x, y, z, c)`` volumes to
+``tf.image`` ops which treat dim0 as batch, so flips/rot90 act on the (y, z)
+plane; flips with probability 0.5 each, rot90 with k = floor(U(-180,180)/90)
+(dataset.py:205-219). Reproduced here in NumPy.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def random_crop(vol: np.ndarray, patch: Sequence[int], rng: np.random.Generator) -> np.ndarray:
+    """Uniform random spatial crop of a channels-last volume (tf.image.random_crop)."""
+    starts = [rng.integers(0, vol.shape[i] - patch[i] + 1) for i in range(len(patch))]
+    sl = tuple(slice(s, s + p) for s, p in zip(starts, patch))
+    return np.ascontiguousarray(vol[sl])
+
+
+def random_spatial_augmentation(
+    arr: np.ndarray,
+    rng: np.random.Generator,
+    preserve_depth_orientation: bool = False,
+    max_rotation_angle: float = 180.0,
+) -> np.ndarray:
+    """Random (y,z)-plane flips and optional rot90 (dataset.py:205-219)."""
+    if rng.uniform() > 0.5:
+        arr = arr[:, :, ::-1]  # 'left_right' = last spatial dim of the (y,z) plane
+    if rng.uniform() > 0.5:
+        arr = arr[:, ::-1]  # 'up_down'
+    if not preserve_depth_orientation:
+        angle = rng.uniform(-max_rotation_angle, max_rotation_angle)
+        k = int(math.floor(angle / 90.0)) % 4
+        if k:
+            arr = np.rot90(arr, k=k, axes=(1, 2))
+    return np.ascontiguousarray(arr)
+
+
+def minmax_to_pm1_np(batch: np.ndarray) -> np.ndarray:
+    """Per-sample min-max to [-1, 1] — the default OTF imaging transform
+    (main.py:169-177)."""
+    axes = tuple(range(1, batch.ndim))
+    mx = batch.max(axis=axes, keepdims=True)
+    mn = batch.min(axis=axes, keepdims=True)
+    return 2.0 * (batch - mn) / (mx - mn) - 1.0
+
+
+class _DomainSampler:
+    """Infinite shuffled sampler over one domain's volume files."""
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        patch: Sequence[int],
+        rng: np.random.Generator,
+        augment: Callable[[np.ndarray, np.random.Generator], np.ndarray],
+        accept: Optional[Callable[[np.ndarray], bool]] = None,
+        max_tries: int = 200,
+        mmap: bool = True,
+    ):
+        self.paths = [str(p) for p in paths]
+        if not self.paths:
+            raise ValueError("empty domain file list")
+        self.patch = tuple(patch)
+        self.rng = rng
+        self.augment = augment
+        self.accept = accept
+        self.max_tries = max_tries
+        self.mmap = mmap
+        self._order: list = []
+
+    def _next_path(self) -> str:
+        if not self._order:
+            self._order = list(self.rng.permutation(len(self.paths)))
+        return self.paths[self._order.pop()]
+
+    def _load(self, path: str) -> np.ndarray:
+        return np.load(path, mmap_mode="r" if self.mmap else None)
+
+    def sample(self) -> np.ndarray:
+        vol = self._load(self._next_path())
+        crop = random_crop(vol, self.patch, self.rng)
+        if self.accept is not None:
+            tries = 0
+            while tries < self.max_tries and not self.accept(crop):
+                crop = random_crop(vol, self.patch, self.rng)
+                tries += 1
+        return self.augment(np.asarray(crop, dtype=np.float32), self.rng)
+
+
+class VanGanDataset:
+    """Paired (zipped) unpaired-domain batch source (dataset.py:11-124 equivalent).
+
+    Yields ``(real_I, real_S)`` float32 global batches of shape
+    ``(GLOBAL_BATCH_SIZE, *SUBVOL_PATCH_SIZE, C)``.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        imaging_partition: dict,
+        seg_partition: dict,
+        otf_imaging: Optional[Callable[[np.ndarray], np.ndarray]] = minmax_to_pm1_np,
+        seed: int = 0,
+        mmap: bool = True,
+        semi_supervised_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.imaging_partition = imaging_partition
+        self.seg_partition = seg_partition
+        self.otf_imaging = otf_imaging
+        self.seed = seed
+        self.mmap = mmap
+        self.semi_supervised_dir = semi_supervised_dir
+        self.IMAGE_THRESH = cfg.IMAGE_THRESH
+        self.SEG_THRESH = cfg.SEG_THRESH
+        self._queues: list = []
+        self._stop = threading.Event()
+
+        # steps-per-epoch parity (main.py:189-193)
+        self.train_steps = cfg.train_steps or max(
+            1,
+            int(
+                max(len(imaging_partition["training"]), len(seg_partition["training"]))
+                / cfg.GLOBAL_BATCH_SIZE
+            ),
+        )
+        self.val_steps = cfg.val_steps or max(
+            1,
+            int(
+                max(len(imaging_partition["validation"]), len(seg_partition["validation"]))
+                / cfg.GLOBAL_BATCH_SIZE
+            ),
+        )
+
+    def _make_samplers(self, split: str, seed_offset: int) -> Tuple[_DomainSampler, _DomainSampler]:
+        cfg = self.cfg
+        img_rng = np.random.default_rng(self.seed + seed_offset)
+        seg_rng = np.random.default_rng(self.seed + seed_offset + 1)
+        imaging = _DomainSampler(
+            self.imaging_partition[split],
+            cfg.subvol_patch_shape,
+            img_rng,
+            augment=lambda a, r: random_spatial_augmentation(a, r, preserve_depth_orientation=True),
+            mmap=self.mmap,
+        )
+        seg_paths = self.seg_partition[split]
+        segmentation = _DomainSampler(
+            seg_paths,
+            cfg.seg_subvol_patch_shape,
+            seg_rng,
+            augment=lambda a, r: random_spatial_augmentation(a, r),
+            accept=lambda c: float(c.max()) >= self.SEG_THRESH,
+            max_tries=cfg.REJECTION_MAX_TRIES,
+            mmap=self.mmap,
+        )
+        return imaging, segmentation
+
+    def _batch_iter(self, split: str, seed_offset: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        cfg = self.cfg
+        imaging, segmentation = self._make_samplers(split, seed_offset)
+        gb = cfg.GLOBAL_BATCH_SIZE
+        while True:
+            real_I = np.stack([imaging.sample() for _ in range(gb)])
+            real_S = np.stack([segmentation.sample() for _ in range(gb)])
+            if self.otf_imaging is not None:
+                real_I = self.otf_imaging(real_I)
+            yield real_I.astype(np.float32), real_S.astype(np.float32)
+
+    def _prefetched(self, it: Iterator, prefetch: int) -> Iterator:
+        """Run ``it`` in a daemon thread, buffering ``prefetch`` batches."""
+        q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        self._queues.append(q)
+        stop = self._stop
+
+        def worker():
+            for item in it:
+                if stop.is_set():
+                    return
+                q.put(item)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            yield q.get()
+
+    def train_batches(self, prefetch: Optional[int] = None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        return self._prefetched(
+            self._batch_iter("training", 100), prefetch or self.cfg.PREFETCH_SIZE
+        )
+
+    def val_batches(self, prefetch: Optional[int] = None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        return self._prefetched(
+            self._batch_iter("validation", 200), prefetch or self.cfg.PREFETCH_SIZE
+        )
+
+    # full-volume validation sampling (dataset.py:193-201)
+    def imaging_val_full(self, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(self.seed + 300)
+        paths = self.imaging_partition["validation"]
+        while True:
+            i = int(rng.integers(0, len(paths)))
+            yield np.load(str(paths[i])).astype(np.float32), i
+
+    def segmentation_val_full(self, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(self.seed + 400)
+        paths = self.seg_partition["validation"]
+        while True:
+            i = int(rng.integers(0, len(paths)))
+            yield np.load(str(paths[i])).astype(np.float32), i
+
+    def close(self) -> None:
+        self._stop.set()
+        for q in self._queues:
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
