@@ -62,6 +62,8 @@ class TestDataParallel:
         fns = make_step_fns(cfg, models, steps_per_epoch=10)
 
         def run(mesh_devices):
+            from vangan_tpu.parallel import batch_sharding, replicated
+
             mesh = make_mesh(mesh_devices)
             state = put_replicated(fns.init(jax.random.PRNGKey(0)), mesh)
             r = np.random.default_rng(11)
@@ -69,22 +71,34 @@ class TestDataParallel:
             x = put_batch(jnp.asarray(real_I), mesh)
             y = put_batch(jnp.asarray(real_S), mesh)
             step = jit_train_step(fns, mesh, donate=False)
+            grad_fn = jax.jit(
+                lambda p, ms, a, b, k: jax.grad(fns.compute_losses, argnums=0, has_aux=True)(
+                    p, ms, a, b, k, jnp.zeros(()), True, None
+                )[0],
+                in_shardings=(replicated(mesh), replicated(mesh), batch_sharding(mesh),
+                              batch_sharding(mesh), replicated(mesh)),
+            )
+            grads = grad_fn(state.params, state.model_state, x, y, jax.random.PRNGKey(1))
             new_state, result = step(
                 state, x, y, jax.random.PRNGKey(1), jnp.asarray(0.0), jnp.asarray(True)
             )
-            return new_state, {k: float(v) for k, v in result.items()}
+            return (new_state, jax.device_get(grads)), {k: float(v) for k, v in result.items()}
 
-        s1, r1 = run(1)
-        s8, r8 = run(8)
+        (s1, g1), r1 = run(1)
+        (s8, g8), r8 = run(8)
         for k in r1:
             assert r1[k] == pytest.approx(r8[k], rel=2e-4), k
-        # parameters after the step agree (up to float reassociation)
+        # gradients agree up to cross-shard float reassociation. (Comparing
+        # post-Adam params instead would be ill-conditioned: for near-zero
+        # gradient leaves Adam's g/(sqrt(g^2)+eps) amplifies layout-dependent
+        # rounding to O(lr) parameter differences.)
         for name in ("gen_IS", "gen_SI", "disc_I", "disc_S"):
             for a, b in zip(
-                jax.tree_util.tree_leaves(s1.params[name]),
-                jax.tree_util.tree_leaves(s8.params[name]),
+                jax.tree_util.tree_leaves(g1[name]), jax.tree_util.tree_leaves(g8[name])
             ):
-                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+                a, b = np.asarray(a), np.asarray(b)
+                scale = max(1e-6, float(np.abs(b).max()))
+                np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4 * scale)
 
     def test_grouped_cldice_matches_explicit_groups(self, rng, eight_devices):
         """seg_loss with groups=8 on the mesh == host-computed mean of

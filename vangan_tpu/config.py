@@ -84,6 +84,10 @@ class VanGanConfig:
     train_steps: Optional[int] = None
     val_steps: Optional[int] = None
 
+    # --- model width (reference defaults; reducible for dry runs/tests) ---
+    gen_filters: int = 16  # vangan.py:119,159 / resunet_model.py:209
+    disc_filters: int = 64  # vangan.py:171,184
+
     # --- TPU-native knobs (new; no reference equivalent) ---
     seed: int = 0
     compute_dtype: str = "bfloat16"  # conv compute dtype; params always float32

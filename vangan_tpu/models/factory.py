@@ -26,29 +26,30 @@ def build_generator(kind: str, cfg, role: str = "i2s") -> nn.Module:
     filters; the i2s V-Net instance norm, nearest upsampling and 32 filters).
     """
     dtype = _dtype_of(cfg)
+    f = getattr(cfg, "gen_filters", 16)
     if kind == "resnet":
         return ResNetGenerator3D(
-            filters=32, num_downsampling_blocks=3, num_residual_blocks=6, num_upsample_blocks=3,
-            dtype=dtype,
+            filters=2 * f, num_downsampling_blocks=3, num_residual_blocks=6,
+            num_upsample_blocks=3, dtype=dtype,
         )
     if kind == "vnet":
         if role == "i2s":
             return VNet3D(
                 use_batch_norm=False, upsample_mode="simple", dropout=0.5,
                 dropout_change_per_layer=0.0, dropout_type="spatial",
-                use_dropout_on_upsampling=False, use_attention_gate=False, filters=32,
+                use_dropout_on_upsampling=False, use_attention_gate=False, filters=2 * f,
                 num_layers=4, output_activation="tanh", dtype=dtype,
             )
         return VNet3D(
             use_batch_norm=True, upsample_mode="deconv", dropout=0.5,
             dropout_change_per_layer=0.0, dropout_type="spatial",
-            use_dropout_on_upsampling=False, use_attention_gate=False, filters=16,
+            use_dropout_on_upsampling=False, use_attention_gate=False, filters=f,
             num_layers=4, output_activation="tanh", addnoise=False, dtype=dtype,
         )
     if kind == "resUnet":
         return ResUNet3D(
             upsample_mode="simple", dropout=0.1, dropout_change_per_layer=0.1,
-            dropout_type="none", use_attention_gate=False, filters=16, num_layers=4,
+            dropout_type="none", use_attention_gate=False, filters=f, num_layers=4,
             output_activation="tanh", use_input_noise=False, dtype=dtype,
         )
     raise ValueError(f"Generator type not recognised: {kind!r}")
@@ -57,7 +58,7 @@ def build_generator(kind: str, cfg, role: str = "i2s") -> nn.Module:
 def build_discriminator(cfg) -> PatchGANDiscriminator3D:
     """PatchGAN discriminator with the VanGan defaults (vangan.py:167-192)."""
     return PatchGANDiscriminator3D(
-        filters=64,
+        filters=getattr(cfg, "disc_filters", 64),
         use_dropout=True,
         dropout_rate=0.2,
         wasserstein=getattr(cfg, "wasserstein", False),
