@@ -93,7 +93,10 @@ class VanGanConfig:
     compute_dtype: str = "bfloat16"  # conv compute dtype; params always float32
     mesh_axis: str = "data"
     cldice_groups: Optional[int] = None  # derived: N_DEVICES (see losses/vangan_losses.py)
-    use_pallas_skeleton: bool = False  # fused Pallas soft-skeleton kernel (TPU only)
+    # fused Pallas soft-skeleton kernels (auto-fallback to XLA off-TPU or for
+    # unsupported shapes; ~170x faster fwd / ~60x fwd+bwd on v5e at 128^3)
+    use_pallas_skeleton: bool = True
+    remat: bool = True  # rematerialise each network application in the backward
     stitcher_batch: int = 8  # patches per device batch in sliding-window inference
     donate_state: bool = True
 

@@ -47,6 +47,7 @@ class LossScales:
     cldice_iters: int = 15
     cldice_alpha: float = 0.5
     cldice_groups: Optional[int] = None  # defaults to n_devices
+    use_pallas_skeleton: bool = False
 
     @property
     def groups(self) -> int:
@@ -160,7 +161,8 @@ def cycle_seg_loss(
     real = min_max_norm(real_image, axis=axes)
     cycled = min_max_norm(cycled_image, axis=axes)
     per = soft_dice_cldice_grouped(
-        real, cycled, groups=scales.groups, iters=scales.cldice_iters, alpha=scales.cldice_alpha
+        real, cycled, groups=scales.groups, iters=scales.cldice_iters,
+        alpha=scales.cldice_alpha, use_pallas=scales.use_pallas_skeleton,
     )
     return per * scales.lambda_topology
 

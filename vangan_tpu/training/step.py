@@ -71,16 +71,29 @@ class TrainStepFns:
     compute_losses: Callable  # exposed for gradient-exactness tests & debugging
 
 
-def _apply(model, params, model_state, x, train, rng, **kwargs):
-    """Apply a flax model, threading mutable collections (BN/spectral-norm)."""
-    variables = {"params": params, **model_state}
+def _apply(model, params, model_state, x, train, rng, remat=False, **kwargs):
+    """Apply a flax model, threading mutable collections (BN/spectral-norm).
+
+    ``remat=True`` wraps the application in ``jax.checkpoint``: the combined
+    backward then recomputes each network's forward instead of holding all ten
+    applications' activations live at once — the decisive HBM saving at 128^3
+    (a single ResU-Net forward keeps ~1.5 GB of residuals otherwise).
+    """
     rngs = {"dropout": jax.random.fold_in(rng, 0), "noise": jax.random.fold_in(rng, 1)}
     mutable = list(model_state.keys()) if (train and model_state) else False
-    if mutable:
-        y, updates = model.apply(variables, x, train=train, rngs=rngs, mutable=mutable, **kwargs)
-        return y, dict(updates)
-    y = model.apply(variables, x, train=train, rngs=rngs, **kwargs)
-    return y, model_state
+
+    def pure(p, inp):
+        variables = {"params": p, **model_state}
+        if mutable:
+            y, updates = model.apply(variables, inp, train=train, rngs=rngs, mutable=mutable,
+                                     **kwargs)
+            return y, dict(updates)
+        y = model.apply(variables, inp, train=train, rngs=rngs, **kwargs)
+        return y, model_state
+
+    if remat:
+        return jax.checkpoint(pure)(params, x)
+    return pure(params, x)
 
 
 def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainStepFns:
@@ -102,6 +115,7 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         cldice_iters=cfg.cldice_iters,
         cldice_alpha=cfg.cldice_alpha,
         cldice_groups=cfg.cldice_groups,
+        use_pallas_skeleton=bool(getattr(cfg, "use_pallas_skeleton", False)),
     )
     optimizer = make_optimizer(cfg, steps_per_epoch)
 
@@ -148,19 +162,24 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         new_ms = dict(model_state)
 
         # A -> B, B -> A (vangan.py:295-297)
+        remat = bool(getattr(cfg, "remat", True)) and train
         fake_S, new_ms["gen_IS"] = _apply(
-            models["gen_IS"], params["gen_IS"], model_state["gen_IS"], real_I, train, r["gIS_a"]
+            models["gen_IS"], params["gen_IS"], model_state["gen_IS"], real_I, train, r["gIS_a"],
+            remat=remat,
         )
         fake_I, new_ms["gen_SI"] = _apply(
-            models["gen_SI"], params["gen_SI"], model_state["gen_SI"], real_S, train, r["gSI_a"]
+            models["gen_SI"], params["gen_SI"], model_state["gen_SI"], real_S, train, r["gSI_a"],
+            remat=remat,
         )
 
         # Cycles (vangan.py:300-308); inner-generator output stopped.
         cycled_S, new_ms["gen_IS"] = _apply(
-            models["gen_IS"], params["gen_IS"], new_ms["gen_IS"], sg(fake_I), train, r["gIS_b"]
+            models["gen_IS"], params["gen_IS"], new_ms["gen_IS"], sg(fake_I), train, r["gIS_b"],
+            remat=remat,
         )
         cycled_I, new_ms["gen_SI"] = _apply(
-            models["gen_SI"], params["gen_SI"], new_ms["gen_SI"], sg(fake_S), train, r["gSI_b"]
+            models["gen_SI"], params["gen_SI"], new_ms["gen_SI"], sg(fake_S), train, r["gSI_b"],
+            remat=remat,
         )
 
         cycle_loss_I = cycle_loss(scales, real_S, cycled_S, typ=cfg.cycle_loss_I_type)
@@ -173,7 +192,7 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         # once with frozen fake (discriminator branch).
         def disc(name, p, x, key):
             y, new_ms[name] = _apply(models[name], p, new_ms[name], x, train, key,
-                                     noise_std=noise_std)
+                                     remat=remat, noise_std=noise_std)
             return y
 
         disc_real_S = disc("disc_S", params["disc_S"], real_S, r["dS_r"])
