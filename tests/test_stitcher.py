@@ -138,3 +138,27 @@ class TestStitching:
 
         arr = np.asarray(iio.imread(tmp_path / "e1_t.tiff"))
         assert arr.shape[:3] == (6, 12, 12)  # (z, x, y)
+
+
+class TestGaussianBlend:
+    def test_identity_gen_gaussian_blend(self, rng):
+        """Gaussian blending of an identity generator still reconstructs the
+        volume (weighted average of identical contributions)."""
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        out = stitch_subvolumes(
+            lambda p: p, img, (1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
+            padFactor=0.25, save=False, blend="gaussian",
+        )
+        want = 255 * (img - img.min()) / (img.max() - img.min())
+        np.testing.assert_allclose(out, want, atol=1e-2)
+
+    def test_gaussian_weights_shape(self):
+        from vangan_tpu.inference.stitcher import _gaussian_window
+
+        w = _gaussian_window((8, 8, 8))
+        assert w.shape == (8, 8, 8, 1)
+        assert w.max() <= 1.0 + 1e-6
+        assert w.min() >= 1e-3
+        # symmetric and centre-peaked
+        np.testing.assert_allclose(w, w[::-1], rtol=1e-6)
+        assert w[4, 4, 4, 0] >= w[0, 0, 0, 0]

@@ -69,8 +69,16 @@ def cmd_train(args) -> None:
     from vangan_tpu.training.loop import fit
     from vangan_tpu.vangan import VanGan
 
+    if cfg.debug_nans:
+        from vangan_tpu.monitor.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
+
     imaging, seg = _load_partitions(cfg, args.data_dir)
-    dataset = VanGanDataset(cfg, imaging.partition, seg.partition, seed=cfg.seed)
+    dataset = VanGanDataset(cfg, imaging.partition, seg.partition, seed=cfg.seed,
+                            semi_supervised_dir=args.semi_supervised_dir)
+    if cfg.plot_dataset_samples:
+        dataset.plot_sample_dataset(os.path.join(cfg.output_dir, "GANMonitor"))
     summary = TBSummary(os.path.join(cfg.output_dir, "TB_Logs"))
     gan = VanGan(cfg, steps_per_epoch=dataset.train_steps)
     monitor = GanMonitor(
@@ -84,7 +92,10 @@ def cmd_train(args) -> None:
     if args.resume_epoch is not None:
         gan.load_checkpoint(epoch=args.resume_epoch)
         start_epoch = args.resume_epoch
-    fit(cfg, gan, dataset, summary, monitor, start_epoch=start_epoch)
+    from vangan_tpu.monitor.profiling import trace
+
+    with trace(cfg.profile_dir):
+        fit(cfg, gan, dataset, summary, monitor, start_epoch=start_epoch)
 
     # post-training test-set inference (main.py:237-243)
     if args.predict_after:
@@ -138,6 +149,7 @@ def main(argv=None) -> None:
     pt.add_argument("--data-dir", required=True)
     pt.add_argument("--output-dir", default=None)
     pt.add_argument("--resume-epoch", type=int, default=None)
+    pt.add_argument("--semi-supervised-dir", default=None)
     pt.add_argument("--predict-after", action="store_true")
     pt.set_defaults(fn=cmd_train)
 

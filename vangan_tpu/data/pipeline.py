@@ -77,6 +77,7 @@ class _DomainSampler:
         accept: Optional[Callable[[np.ndarray], bool]] = None,
         max_tries: int = 200,
         mmap: bool = True,
+        paired_dir: Optional[str] = None,
     ):
         self.paths = [str(p) for p in paths]
         if not self.paths:
@@ -87,6 +88,7 @@ class _DomainSampler:
         self.accept = accept
         self.max_tries = max_tries
         self.mmap = mmap
+        self.paired_dir = paired_dir  # semi-supervised: concat paired volume (dataset.py:182-187)
         self._order: list = []
 
     def _next_path(self) -> str:
@@ -95,7 +97,13 @@ class _DomainSampler:
         return self.paths[self._order.pop()]
 
     def _load(self, path: str) -> np.ndarray:
-        return np.load(path, mmap_mode="r" if self.mmap else None)
+        vol = np.load(path, mmap_mode="r" if self.mmap else None)
+        if self.paired_dir is not None:
+            paired = os.path.join(self.paired_dir, os.path.basename(path))
+            # semi-supervised: stack the paired volume along axis 0 before
+            # cropping (dataset.py:182-187 semantics)
+            vol = np.concatenate([np.asarray(vol), np.load(paired)], axis=0)
+        return vol
 
     def sample(self) -> np.ndarray:
         vol = self._load(self._next_path())
@@ -173,6 +181,7 @@ class VanGanDataset:
             accept=lambda c: float(c.max()) >= self.SEG_THRESH,
             max_tries=cfg.REJECTION_MAX_TRIES,
             mmap=self.mmap,
+            paired_dir=self.semi_supervised_dir,
         )
         return imaging, segmentation
 
@@ -228,6 +237,45 @@ class VanGanDataset:
         while True:
             i = int(rng.integers(0, len(paths)))
             yield np.load(str(paths[i])).astype(np.float32), i
+
+    def plot_sample_dataset(self, out_dir: str = "GANMonitor") -> None:
+        """Startup sanity panels + TIFF dumps of one training sample pair
+        (dataset.py:277-373): XY and YZ slice grids with histograms."""
+        import os as _os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        _os.makedirs(out_dir, exist_ok=True)
+        it = self._batch_iter("training", 900)
+        real_I, real_S = next(it)
+        dI, dS = real_I[0], real_S[0]
+
+        from vangan_tpu.data.preprocess import write_tiff
+
+        write_tiff(_os.path.join(out_dir, "Imaging_Test_Input.tiff"),
+                   np.transpose(dI, (2, 0, 1, 3)))
+        write_tiff(_os.path.join(out_dir, "Segmentation_Test_Input.tiff"),
+                   np.transpose(dS, (2, 0, 1, 3)))
+
+        nfig = 6
+        for tag, axis in (("XY", 2), ("YZ", 1)):
+            fig, axs = plt.subplots(nfig + 1, 2, figsize=(10, 15))
+            fig.subplots_adjust(hspace=0.5)
+            for j in range(nfig):
+                z = j * int(dI.shape[axis] / nfig)
+                sl = (slice(None), slice(None), z) if axis == 2 else (slice(None), z)
+                axs[j, 0].imshow(dI[sl + (0,)] if axis == 2 else dI[:, z, :, 0], cmap="gray")
+                axs[j, 1].imshow(dS[sl + (0,)] if axis == 2 else dS[:, z, :, 0], cmap="gray")
+            axs[0, 0].set_title(f"Imaging Dataset ({tag})")
+            axs[0, 1].set_title(f"Segmentation Dataset ({tag})")
+            axs[nfig, 0].hist(dI.ravel(), bins=256, fc="k", ec="k", density=True)
+            axs[nfig, 1].hist(dS.ravel(), bins=256, fc="k", ec="k", density=True)
+            axs[nfig, 0].set_ylabel("Voxel Frequency")
+            fig.savefig(_os.path.join(out_dir, f"dataset_sample_{tag}.png"), dpi=120)
+            plt.close(fig)
 
     def close(self) -> None:
         self._stop.set()

@@ -84,7 +84,7 @@ def resize_volume(img: np.ndarray, target_size: Sequence[int]) -> np.ndarray:
 def _process_one(task: Tuple) -> Optional[str]:
     """Worker: process one TIFF into an .npy volume. Returns filename on NaN skip."""
     (raw_path, file, out_dir, dimensions, domain, tiff_size, target_size, do_resize,
-     preprocess_fn) = task
+     preprocess_fn, save_filtered, filtered_dir) = task
     stack = read_tiff(os.path.join(raw_path, file))
     base, _ = os.path.splitext(file)
 
@@ -113,6 +113,11 @@ def _process_one(task: Tuple) -> Optional[str]:
 
     if check_nan(stack):
         return file  # skipped (preprocessing.py:214-215)
+    if save_filtered and filtered_dir:
+        # filtered uint8 TIFF dump for visual QA (preprocessing.py:193-203)
+        os.makedirs(filtered_dir, exist_ok=True)
+        arr8 = (np.transpose(stack, (2, 1, 0)) * 127.5 + 127.5).astype("uint8")
+        write_tiff(os.path.join(filtered_dir, base + ".tiff"), arr8)
     np.save(os.path.join(out_dir, base), np.expand_dims(stack, axis=dimensions))
     return None
 
@@ -198,6 +203,7 @@ class DataPreprocessor:
         self,
         preprocess_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         resize: bool = False,
+        save_filtered: bool = False,
     ) -> None:
         """Split + process every partition in parallel, then save the manifest."""
         print(f"*** Preprocessing partition {self.partition_id} images ***")
@@ -206,13 +212,15 @@ class DataPreprocessor:
         for split, files in self.partition.items():
             out_dir = os.path.join(self.main_dir, subdir[split] + self.partition_id)
             os.makedirs(out_dir, exist_ok=True)
-            self._run_parallel(files, out_dir, preprocess_fn, resize)
+            filtered = os.path.join(self.main_dir, "filtered", subdir[split] + self.partition_id)
+            self._run_parallel(files, out_dir, preprocess_fn, resize, save_filtered, filtered)
         self.save_partition(self.main_dir)
 
-    def _run_parallel(self, files, out_dir, preprocess_fn, resize) -> None:
+    def _run_parallel(self, files, out_dir, preprocess_fn, resize, save_filtered=False,
+                      filtered_dir=None) -> None:
         tasks = [
             (self.raw_path, str(f), out_dir, self.DIMENSIONS, self.domain, self.tiff_size,
-             self.target_size, resize, preprocess_fn)
+             self.target_size, resize, preprocess_fn, save_filtered, filtered_dir)
             for f in files
         ]
         if self.NUM_WORKERS <= 1 or len(tasks) <= 1:
@@ -244,7 +252,7 @@ class DataPreprocessor:
         files = sorted(os.listdir(current_path))
         tasks = [
             (current_path, f, new_path, self.DIMENSIONS, self.domain, self.tiff_size,
-             self.target_size, resize, preprocess_fn)
+             self.target_size, resize, preprocess_fn, False, None)
             for f in files
         ]
         for t in tasks:

@@ -24,6 +24,7 @@ def run_mapping(
     filetext: Optional[str] = None,
     filepath: str = "",
     batch_size: Optional[int] = None,
+    blend: str = "uniform",
 ) -> None:
     """Map every volume in ``test_set`` through gen_IS (segmentation) or gen_SI
     (fake imaging) and save stitched TIFFs (custom_callback.py:466-509).
@@ -48,6 +49,7 @@ def run_mapping(
             padFactor=padFactor,
             process_img=not segmentation,
             batch_size=batch_size or getattr(vangan.cfg, "stitcher_batch", 8),
+            blend=blend,
         )
 
 

@@ -51,6 +51,22 @@ def stitch_origins(shape: Sequence[int], subvol: Sequence[int], stride: Sequence
     return [(i, j, k) for i in ox for j in oy for k in oz]
 
 
+def _gaussian_window(shape: Sequence[int], sigma_scale: float = 0.125) -> np.ndarray:
+    """Separable Gaussian patch weighting for overlap blending.
+
+    Down-weights patch borders smoothly (sigma = sigma_scale * dim), removing
+    stitching seams without the reference's hard 10% border cut. Weights are
+    floored at 1e-3 so coverage never vanishes.
+    """
+    ws = []
+    for n in shape:
+        x = np.arange(n, dtype=np.float64) - (n - 1) / 2.0
+        w = np.exp(-0.5 * (x / (sigma_scale * n)) ** 2)
+        ws.append(w)
+    w3 = ws[0][:, None, None] * ws[1][None, :, None] * ws[2][None, None, :]
+    return np.maximum(w3, 1e-3).astype(np.float32)[..., None]
+
+
 def _minmax_patch(arr: np.ndarray) -> np.ndarray:
     """Per-patch min-max to [-1, 1] (the reference's process_imaging_domain call
     with axis=None, custom_callback.py:171-172 -> main.py:169-177)."""
@@ -75,6 +91,7 @@ def stitch_subvolumes(
     model_path: str = ".",
     batch_size: int = 8,
     save: bool = True,
+    blend: str = "uniform",  # 'uniform' (reference parity) | 'gaussian'
 ) -> np.ndarray:
     """Predict a full volume by strided sliding-window stitching.
 
@@ -83,6 +100,10 @@ def stitch_subvolumes(
     reference convention ``(GB, kx, ky, kz, C)`` (INPUT_IMG_SIZE,
     custom_callback.py:110). Returns the stitched volume; optionally writes the
     reference-layout TIFF.
+
+    ``blend='gaussian'`` replaces the uniform overlap average with smooth
+    Gaussian patch weighting (no hard border cut) — an extension beyond the
+    reference for seam-free stitching.
     """
     img = np.asarray(img, dtype=np.float32)
     if img.ndim != 4:
@@ -107,12 +128,13 @@ def stitch_subvolumes(
     H, W, D, C = img.shape
     kH, kW, kD = subvol_size[1], subvol_size[2], subvol_size[3]
 
-    if not complete or not border_removal:
+    if not complete or not border_removal or blend == "gaussian":
         pH = pW = pD = 0
     else:
         pH, pW, pD = int(0.1 * kH), int(0.1 * kW), int(0.1 * kD)
         if kD == D:
             pD = 0
+    weight = _gaussian_window((kH, kW, kD)) if blend == "gaussian" else None
 
     pix_tracker = np.zeros([H, W, D, C], dtype="float32")
     pred = np.zeros(img.shape, dtype="float32")
@@ -141,9 +163,13 @@ def stitch_subvolumes(
             patches = np.concatenate([patches, pad], axis=0)
         out = np.asarray(gen(patches), dtype=np.float32)[:n_valid]
         for (i, j, k), arr in zip(group, out):
-            arr = arr[pH : kH - pH, pW : kW - pW, pD : kD - pD]
-            pred[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += arr
-            pix_tracker[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += 1.0
+            if weight is not None:
+                pred[i : i + kH, j : j + kW, k : k + kD] += arr * weight
+                pix_tracker[i : i + kH, j : j + kW, k : k + kD] += weight
+            else:
+                arr = arr[pH : kH - pH, pW : kW - pW, pD : kD - pD]
+                pred[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += arr
+                pix_tracker[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += 1.0
 
     pred = np.true_divide(pred, pix_tracker)
 

@@ -81,16 +81,21 @@ class InstanceNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         axes = tuple(range(1, x.ndim - 1))
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.var(xf, axis=axes, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # Statistics accumulate in float32 via the reduction dtype; the
+        # elementwise math stays in the compute dtype. (A full f32 cast of the
+        # activation would materialise GB-scale padded temporaries at 128^3 —
+        # XLA pads the 16-channel minor dim to 128 lanes.)
+        mean32 = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+        xc = x - mean32.astype(x.dtype)
+        var32 = jnp.mean(jax.lax.square(xc), axis=axes, keepdims=True, dtype=jnp.float32)
+        inv = jax.lax.rsqrt(var32 + self.epsilon)
+        y = xc * inv.astype(x.dtype)
         if self.use_scale:
             gamma = self.param("scale", self.gamma_init, (c,), jnp.float32)
-            y = y * gamma
+            y = y * gamma.astype(x.dtype)
         if self.use_bias:
             beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-            y = y + beta
+            y = y + beta.astype(x.dtype)
         return y.astype(self.dtype or x.dtype)
 
 
