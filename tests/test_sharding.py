@@ -97,8 +97,11 @@ class TestDataParallel:
                 jax.tree_util.tree_leaves(g1[name]), jax.tree_util.tree_leaves(g8[name])
             ):
                 a, b = np.asarray(a), np.asarray(b)
-                scale = max(1e-6, float(np.abs(b).max()))
-                np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4 * scale)
+                # absolute floor 5e-6: near-zero gradient leaves (|g| ~ 1e-7)
+                # carry pure cross-shard reduction noise (real gradient
+                # magnitudes in this setup are 1e-2..1e0)
+                atol = max(5e-4 * float(np.abs(b).max()), 5e-6)
+                np.testing.assert_allclose(a, b, rtol=5e-3, atol=atol)
 
     def test_grouped_cldice_matches_explicit_groups(self, rng, eight_devices):
         """seg_loss with groups=8 on the mesh == host-computed mean of

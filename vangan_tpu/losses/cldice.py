@@ -14,14 +14,22 @@ from functools import partial
 import jax.numpy as jnp
 from jax import vmap
 
+from jax import lax
+
 from vangan_tpu.ops.morphology import soft_skel
 
 
-def _skel(img: jnp.ndarray, iters: int, use_pallas: bool) -> jnp.ndarray:
+def _skel(img: jnp.ndarray, iters: int, use_pallas: bool, needs_grad: bool = True) -> jnp.ndarray:
+    """Soft skeleton; ``needs_grad=False`` marks data tensors (ground truth):
+    no backward residuals are kept (gradient explicitly stopped)."""
     if use_pallas:
-        from vangan_tpu.ops.pallas.skeleton import soft_skel_pallas
+        from vangan_tpu.ops.pallas.skeleton import soft_skel_pallas, soft_skel_pallas_nograd
 
+        if not needs_grad:
+            return soft_skel_pallas_nograd(img, iters)
         return soft_skel_pallas(img, iters)
+    if not needs_grad:
+        img = lax.stop_gradient(img)
     return soft_skel(img, iters)
 
 
@@ -30,7 +38,8 @@ def soft_clDice_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray, iter_: int = 50,
     """Soft centre-line Dice loss over the whole tensor (clDice_func.py:83-102)."""
     smooth = 1.0
     skel_pred = _skel(y_pred, iter_, use_pallas)
-    skel_true = _skel(y_true, iter_, use_pallas)
+    # y_true is ground truth: its skeleton needs no backward residuals
+    skel_true = _skel(y_true, iter_, use_pallas, needs_grad=False)
     pres = (jnp.sum(skel_pred * y_true) + smooth) / (jnp.sum(skel_pred) + smooth)
     rec = (jnp.sum(skel_true * y_pred) + smooth) / (jnp.sum(skel_true) + smooth)
     return 1.0 - 2.0 * (pres * rec) / (pres + rec)
@@ -79,7 +88,7 @@ def soft_dice_cldice_grouped(
     # both the XLA and Pallas paths), then reduce per group — identical math
     # to per-group loss evaluation, one kernel pipeline instead of a vmap.
     skel_pred = _skel(y_pred, iters, use_pallas)
-    skel_true = _skel(y_true, iters, use_pallas)
+    skel_true = _skel(y_true, iters, use_pallas, needs_grad=False)
     smooth = 1.0
 
     def gsum(t: jnp.ndarray) -> jnp.ndarray:

@@ -281,27 +281,38 @@ def _supported(img: jnp.ndarray, xb: int) -> bool:
     return x % xb == 0 and z % 128 == 0 and y % _YB == 0
 
 
-def _forward_scan(img: jnp.ndarray, iters: int, xb: int):
-    """Run iters+1 uniform rounds; returns (skel_final, per-round residual
-    stacks (img_t interior, skel_{t-1} interior))."""
+def _forward_scan(img: jnp.ndarray, iters: int, xb: int, collect: bool = True):
+    """Run iters+1 uniform rounds; with ``collect`` returns per-round residual
+    stacks (img_t interior, skel_{t-1} interior) for the backward."""
     v = img[..., 0]
     b, x, y, z = v.shape
 
     def body(carry, _):
         imgp, skel = carry
-        res = (imgp[:, _HF : _HF + x], skel)  # round inputs (interior)
+        res = (imgp[:, _HF : _HF + x], skel) if collect else None
         new = _round_fwd(imgp, skel, xb)
         return new, res
 
-    (_, skel_f), (img_stack, skel_stack) = lax.scan(
+    (_, skel_f), stacks = lax.scan(
         body, (_pad_big(v, _HF), jnp.zeros_like(v)), None, length=iters + 1
     )
-    return skel_f, (img_stack, skel_stack)
+    return skel_f, stacks
 
 
 def _soft_skel_fwd_value(img: jnp.ndarray, iters: int, xb: int) -> jnp.ndarray:
-    skel_f, _ = _forward_scan(img, iters, xb)
+    skel_f, _ = _forward_scan(img, iters, xb, collect=False)
     return skel_f[..., None]
+
+
+def soft_skel_pallas_nograd(img: jnp.ndarray, iters: int, xb: int = 8) -> jnp.ndarray:
+    """Forward-only fused skeleton: no residual stacks are ever materialised.
+
+    For skeletons of *data* tensors (the ground-truth side of clDice), whose
+    gradient is never requested — saves 2*(iters+1) volume stacks of HBM.
+    """
+    if not _supported(img, xb):
+        return soft_skel(lax.stop_gradient(img), iters)
+    return _soft_skel_fwd_value(lax.stop_gradient(img), iters, xb)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

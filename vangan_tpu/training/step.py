@@ -78,21 +78,38 @@ def _apply(model, params, model_state, x, train, rng, remat=False, **kwargs):
     backward then recomputes each network's forward instead of holding all ten
     applications' activations live at once — the decisive HBM saving at 128^3
     (a single ResU-Net forward keeps ~1.5 GB of residuals otherwise).
+
+    Layout note: tensors crossing the checkpoint boundary (inputs, outputs and
+    their cotangents) get materialised; with a trailing C=1 channel XLA can
+    choose a lane-minor layout and pad 1 -> 128 lanes (observed 8 MB -> 1 GB
+    copies at 128^3). Folding the singleton channel into Z across the boundary
+    keeps the minor dimension 128-sized.
     """
     rngs = {"dropout": jax.random.fold_in(rng, 0), "noise": jax.random.fold_in(rng, 1)}
     mutable = list(model_state.keys()) if (train and model_state) else False
+    fold = remat and x.ndim >= 3 and x.shape[-1] == 1
 
     def pure(p, inp):
+        if fold:
+            inp = inp[..., None]
         variables = {"params": p, **model_state}
         if mutable:
             y, updates = model.apply(variables, inp, train=train, rngs=rngs, mutable=mutable,
                                      **kwargs)
-            return y, dict(updates)
-        y = model.apply(variables, inp, train=train, rngs=rngs, **kwargs)
-        return y, model_state
+            new_state = dict(updates)
+        else:
+            y = model.apply(variables, inp, train=train, rngs=rngs, **kwargs)
+            new_state = model_state
+        if fold and y.ndim >= 3 and y.shape[-1] == 1:
+            y = y[..., 0]
+        return y, new_state
 
     if remat:
-        return jax.checkpoint(pure)(params, x)
+        xx = x[..., 0] if fold else x
+        y, new_state = jax.checkpoint(pure)(params, xx)
+        if fold and y.ndim == x.ndim - 1:
+            y = y[..., None]
+        return y, new_state
     return pure(params, x)
 
 
