@@ -225,3 +225,31 @@ class TestWassersteinPath:
         _, r1 = step(state1, real_I, real_S, jax.random.PRNGKey(1), jnp.asarray(0.1), jnp.asarray(True))
         assert np.isfinite(float(r1["D_I_loss"]))
         assert np.isfinite(float(r1["D_S_loss"]))
+
+
+class TestBackwardModes:
+    def test_sequential_equals_combined(self, rng):
+        """The barrier-chained sequential backward must produce exactly the
+        same gradients, losses, and updated parameters as the combined mode."""
+        models = tiny_models(deterministic=False)
+        real_rng = np.random.default_rng(5)
+
+        def run(mode):
+            cfg = tiny_cfg(backward_mode=mode)
+            fns = make_step_fns(cfg, models, steps_per_epoch=10)
+            state = fns.init(jax.random.PRNGKey(0))
+            real_I, real_S = make_batch(np.random.default_rng(5), cfg)
+            step = jax.jit(fns.train_step)
+            new_state, result = step(
+                state, real_I, real_S, jax.random.PRNGKey(2), jnp.asarray(0.1),
+                jnp.asarray(True),
+            )
+            return new_state, {k: float(v) for k, v in result.items()}
+
+        s_seq, r_seq = run("sequential")
+        s_comb, r_comb = run("combined")
+        for k in r_comb:
+            assert r_seq[k] == r_comb[k], k
+        for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                        jax.tree_util.tree_leaves(s_comb.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

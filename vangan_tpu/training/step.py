@@ -288,11 +288,39 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
             # GP active from the second step (initModel flag, vangan.py:410-415)
             gp_scale = jnp.where(state.step > 0, cfg.gp_weight, 0.0)
 
-        grad_fn = jax.grad(compute_losses, argnums=0, has_aux=True)
-        grads, (result, new_ms) = grad_fn(
-            state.params, state.model_state, real_I, real_S,
-            jax.random.fold_in(rng, state.step), noise_std, True, gp_scale,
-        )
+        step_rng = jax.random.fold_in(rng, state.step)
+        if getattr(cfg, "backward_mode", "sequential") == "combined":
+            # one backward for all four restricted gradients
+            grad_fn = jax.grad(compute_losses, argnums=0, has_aux=True)
+            grads, (result, new_ms) = grad_fn(
+                state.params, state.model_state, real_I, real_S, step_rng, noise_std, True,
+                gp_scale,
+            )
+        else:
+            # Sequential mode: four restricted backwards chained with
+            # optimization barriers. The stop_gradient routing makes
+            # grad(combined, params[name]) exactly the reference's restricted
+            # gradient, and the four path sets are disjoint, so total FLOPs
+            # match the combined backward — but XLA cannot overlap the
+            # segments' backward temporaries, bounding peak HBM to a single
+            # network's backward (decisive at 128^3 where conv temporaries
+            # are 8-16x lane-padded at 16 channels).
+            grads = {}
+            carrier = state.params
+            result = new_ms = None
+            for name in NETWORKS:
+
+                def loss_for(sub, carrier=carrier, name=name):
+                    full = {**carrier, name: sub}
+                    return compute_losses(full, state.model_state, real_I, real_S, step_rng,
+                                          noise_std, True, gp_scale)
+
+                if result is None:
+                    g, (result, new_ms) = jax.grad(loss_for, has_aux=True)(carrier[name])
+                else:
+                    g, _ = jax.grad(loss_for, has_aux=True)(carrier[name])
+                grads[name] = g
+                carrier, _ = jax.lax.optimization_barrier((carrier, g))
 
         new_params, new_opt = {}, {}
         for name in NETWORKS:
