@@ -70,12 +70,15 @@ def run_one(batch_per_chip: int) -> None:
     key = jax.random.PRNGKey(1)
     for _ in range(2):  # compile + steady warmup
         state, result = step(state, real_I, real_S, key, noise, upd)
-    jax.block_until_ready(result)
+    # NOTE: block_until_ready does not synchronise on this remote TPU
+    # platform; a host fetch does. The steps chain through the donated state,
+    # so one final fetch bounds the whole timed sequence.
+    float(result["total_IS_loss"])
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, result = step(state, real_I, real_S, key, noise, upd)
-    jax.block_until_ready(result)
+    float(result["total_IS_loss"])
     dt = time.perf_counter() - t0
     patches_per_sec_per_chip = gb * n_steps / dt / n_devices
     print(

@@ -229,8 +229,9 @@ class TestWassersteinPath:
 
 class TestBackwardModes:
     def test_sequential_equals_combined(self, rng):
-        """The barrier-chained sequential backward must produce exactly the
-        same gradients, losses, and updated parameters as the combined mode."""
+        """The barrier-chained grouped backwards must produce the same
+        gradients, losses, and updated parameters as the combined mode
+        (up to compilation-level float reassociation)."""
         models = tiny_models(deterministic=False)
         real_rng = np.random.default_rng(5)
 
@@ -246,10 +247,14 @@ class TestBackwardModes:
             )
             return new_state, {k: float(v) for k, v in result.items()}
 
-        s_seq, r_seq = run("sequential")
         s_comb, r_comb = run("combined")
-        for k in r_comb:
-            assert r_seq[k] == r_comb[k], k
-        for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
-                        jax.tree_util.tree_leaves(s_comb.params)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for mode in ("sequential", "two_phase"):
+            s_m, r_m = run(mode)
+            # not bit-exact: each grouped grad graph is compiled (fused)
+            # separately, so float reassociation differs at the 1e-6 level
+            for k in r_comb:
+                assert r_m[k] == pytest.approx(r_comb[k], rel=1e-4), (mode, k)
+            for a, b in zip(jax.tree_util.tree_leaves(s_m.params),
+                            jax.tree_util.tree_leaves(s_comb.params)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                           atol=1e-6)

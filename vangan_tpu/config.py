@@ -97,9 +97,11 @@ class VanGanConfig:
     # unsupported shapes; ~170x faster fwd / ~60x fwd+bwd on v5e at 128^3)
     use_pallas_skeleton: bool = True
     remat: bool = True  # rematerialise each network application in the backward
-    # 'sequential': four barrier-chained restricted backwards (bounded peak
-    # HBM, same total FLOPs); 'combined': one backward for all four gradients
-    backward_mode: str = "sequential"
+    # 'combined': one backward for all four gradients (fastest, highest peak
+    # HBM); 'two_phase': generators then discriminators, barrier-chained
+    # (default; fits 128^3); 'sequential': four barrier-chained backwards
+    # (lowest peak HBM)
+    backward_mode: str = "two_phase"
     profile_dir: Optional[str] = None  # jax.profiler trace output (None = off)
     debug_nans: bool = False  # jax_debug_nans (vangan.py:290-292 equivalent)
     plot_dataset_samples: bool = True  # startup sanity panels (dataset.py:113)

@@ -30,29 +30,39 @@ def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+def _shift_blur_axis(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+    """1-D 'SAME' zero-padded FIR along ``axis`` via shifted adds.
+
+    Pure VPU elementwise work — avoids conv3d calls on C=1 tensors, which on
+    TPU relayout with the singleton channel in lanes (127/128 idle)."""
+    k = taps.shape[0]
+    r = k // 2
+    n = x.shape[axis]
+    acc = None
+    for t in range(k):
+        off = t - r  # contribution of x[i+off] with weight taps[t]
+        lo, hi = max(0, off), min(n, n + off)
+        sl = lax.slice_in_dim(x, lo, hi, axis=axis)
+        pad_lo = max(0, -off)
+        pad_hi = n - (hi - lo) - pad_lo
+        cfg = [(0, 0, 0)] * x.ndim
+        cfg[axis] = (pad_lo, pad_hi, 0)
+        term = lax.pad(sl, jnp.asarray(0.0, x.dtype), cfg) * float(taps[t])
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _blur3d(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     """Separable 3-D blur of a (B, X, Y, Z, C) tensor with zero 'SAME' padding.
 
-    Channels are treated independently (the reference's C=1 conv3d generalised
-    depthwise via feature_group_count).
-    """
-    k = taps.shape[0]
-    c = x.shape[-1]
-    dn = lax.conv_dimension_numbers(x.shape, (1, 1, k, k, k), ("NXYZC", "OIXYZ", "NXYZC"))
-    for axis in range(3):
-        shape = [1, 1, 1, 1, 1]
-        shape[2 + axis] = k
-        kern = jnp.asarray(taps, x.dtype).reshape(shape)
-        kern = jnp.tile(kern, (c, 1, 1, 1, 1))  # (C, 1, kx, ky, kz) depthwise
-        x = lax.conv_general_dilated(
-            x,
-            kern,
-            window_strides=(1, 1, 1),
-            padding="SAME",
-            dimension_numbers=dn,
-            feature_group_count=c,
-        )
-    return x
+    Implemented as shifted adds per axis (identical math to the reference's
+    dense conv3d, loss_functions.py:100-108): 3 taps x 3 axes of elementwise
+    work; trailing C=1 is squeezed so the minor dim stays lane-sized."""
+    squeeze = x.shape[-1] == 1
+    v = x[..., 0] if squeeze else x
+    for axis in range(1, 4):  # spatial dims of (B, X, Y, Z[, C])
+        v = _shift_blur_axis(v, taps, axis)
+    return v[..., None] if squeeze else v
 
 
 def ssim3d_loss_map(

@@ -289,7 +289,17 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
             gp_scale = jnp.where(state.step > 0, cfg.gp_weight, 0.0)
 
         step_rng = jax.random.fold_in(rng, state.step)
-        if getattr(cfg, "backward_mode", "sequential") == "combined":
+        mode = getattr(cfg, "backward_mode", "two_phase")
+        if mode == "combined":
+            groups = [NETWORKS]
+        elif mode == "two_phase":
+            groups = [("gen_IS", "gen_SI"), ("disc_I", "disc_S")]
+        elif mode == "sequential":
+            groups = [(n,) for n in NETWORKS]
+        else:
+            raise ValueError(f"unknown backward_mode {mode!r}")
+
+        if len(groups) == 1:
             # one backward for all four restricted gradients
             grad_fn = jax.grad(compute_losses, argnums=0, has_aux=True)
             grads, (result, new_ms) = grad_fn(
@@ -297,29 +307,31 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
                 gp_scale,
             )
         else:
-            # Sequential mode: four restricted backwards chained with
-            # optimization barriers. The stop_gradient routing makes
-            # grad(combined, params[name]) exactly the reference's restricted
-            # gradient, and the four path sets are disjoint, so total FLOPs
-            # match the combined backward — but XLA cannot overlap the
-            # segments' backward temporaries, bounding peak HBM to a single
-            # network's backward (decisive at 128^3 where conv temporaries
-            # are 8-16x lane-padded at 16 channels).
+            # Grouped backwards chained with optimization barriers. The
+            # stop_gradient routing makes grad(combined, params[subset]) the
+            # exact restricted gradients, and the groups' path sets are
+            # disjoint, so total backward FLOPs match the combined mode — but
+            # XLA cannot overlap the groups' backward temporaries, bounding
+            # peak HBM (decisive at 128^3 where conv temporaries are 8-16x
+            # lane-padded at 16 channels). Each extra group re-runs the shared
+            # forward once (remat recompute), trading time for memory:
+            # 'two_phase' (gens | discs) is the default sweet spot.
             grads = {}
             carrier = state.params
             result = new_ms = None
-            for name in NETWORKS:
+            for group in groups:
 
-                def loss_for(sub, carrier=carrier, name=name):
-                    full = {**carrier, name: sub}
+                def loss_for(sub, carrier=carrier, group=group):
+                    full = {**carrier, **{n: sub[n] for n in group}}
                     return compute_losses(full, state.model_state, real_I, real_S, step_rng,
                                           noise_std, True, gp_scale)
 
+                sub_params = {n: carrier[n] for n in group}
                 if result is None:
-                    g, (result, new_ms) = jax.grad(loss_for, has_aux=True)(carrier[name])
+                    g, (result, new_ms) = jax.grad(loss_for, has_aux=True)(sub_params)
                 else:
-                    g, _ = jax.grad(loss_for, has_aux=True)(carrier[name])
-                grads[name] = g
+                    g, _ = jax.grad(loss_for, has_aux=True)(sub_params)
+                grads.update(g)
                 carrier, _ = jax.lax.optimization_barrier((carrier, g))
 
         new_params, new_opt = {}, {}
