@@ -98,10 +98,10 @@ class VanGanConfig:
     use_pallas_skeleton: bool = True
     remat: bool = True  # rematerialise each network application in the backward
     # 'combined': one backward for all four gradients (fastest, highest peak
-    # HBM); 'two_phase': generators then discriminators, barrier-chained
-    # (default; fits 128^3); 'sequential': four barrier-chained backwards
-    # (lowest peak HBM)
-    backward_mode: str = "two_phase"
+    # HBM); 'two_phase': generators then discriminators, barrier-chained;
+    # 'sequential': four barrier-chained backwards (lowest peak HBM — the only
+    # mode that fits 128^3 on a 16 GB v5e today, see docs/PERF.md)
+    backward_mode: str = "sequential"
     profile_dir: Optional[str] = None  # jax.profiler trace output (None = off)
     debug_nans: bool = False  # jax_debug_nans (vangan.py:290-292 equivalent)
     plot_dataset_samples: bool = True  # startup sanity panels (dataset.py:113)

@@ -328,9 +328,12 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
 
                 sub_params = {n: carrier[n] for n in group}
                 if result is None:
+                    # only the first pull materialises the loss dict / model
+                    # state; later pulls return just the scalar so DCE prunes
+                    # every forward path not feeding this group's gradient
                     g, (result, new_ms) = jax.grad(loss_for, has_aux=True)(sub_params)
                 else:
-                    g, _ = jax.grad(loss_for, has_aux=True)(sub_params)
+                    g = jax.grad(lambda s: loss_for(s)[0])(sub_params)
                 grads.update(g)
                 carrier, _ = jax.lax.optimization_barrier((carrier, g))
 
