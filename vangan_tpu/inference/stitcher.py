@@ -171,7 +171,11 @@ def stitch_subvolumes(
                 pred[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += arr
                 pix_tracker[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += 1.0
 
-    pred = np.true_divide(pred, pix_tracker)
+    # 0/0 -> NaN in never-covered voxels (only inside the symmetric padding
+    # margin, cropped away below) — same semantics as the reference
+    # (custom_callback.py:192); silence the expected warning.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pred = np.true_divide(pred, pix_tracker)
 
     if complete:
         if stride[2] == 1:
