@@ -7,7 +7,7 @@ Equivalents of ``GanMonitor.run_mapping`` (custom_callback.py:466-509) and
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -9,11 +9,7 @@ vmapping over device-sized groups (see losses/vangan_losses.py:cycle_seg_loss).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax.numpy as jnp
-from jax import vmap
-
 from jax import lax
 
 from vangan_tpu.ops.morphology import soft_skel

@@ -6,9 +6,8 @@ cycle-panel logging. Uses tensorboardX (framework-free event files).
 
 from __future__ import annotations
 
-import io
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

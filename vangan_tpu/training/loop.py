@@ -3,9 +3,6 @@
 from __future__ import annotations
 
 import time
-from typing import Optional
-
-import numpy as np
 
 from vangan_tpu.vangan import VanGan, train
 
