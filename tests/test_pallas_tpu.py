@@ -43,3 +43,20 @@ class TestPallasSkeleton:
         x = jnp.asarray(rng.uniform(size=(1, 8, 8, 8, 1)).astype(np.float32))
         out = soft_skel_pallas(x, 3)  # z=8 not lane-aligned -> XLA fallback
         assert out.shape == x.shape
+
+
+@requires_tpu
+class TestConvCXYZ:
+    """Experimental CXYZ-layout conv kernel (round-2 layout engine prototype)."""
+
+    def test_parity_vs_xla(self, rng):
+        import jax.numpy as jnp
+
+        from vangan_tpu.ops.pallas.conv3d import conv3d_cxyz, conv3d_cxyz_reference
+
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 128)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(3, 3, 3, 16, 16)) * 0.1).astype(np.float32))
+        a = jax.jit(lambda v, k: conv3d_cxyz(v, k, xb=8, yb=8))(x, w)
+        b = jax.jit(conv3d_cxyz_reference)(x, w)
+        rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+        assert rel < 5e-3  # MXU default-precision reassociation
