@@ -97,7 +97,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--batch":
         run_one(int(sys.argv[2]))
         return
-    for batch in (3, 2, 1):
+    # batch 3 first (wins if future memory work lands), then 1 (today's fit);
+    # batch 2 skipped — it has never been the winner and each failed probe
+    # costs a full ~8 min TPU compile through the tunnel
+    for batch in (3, 1):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--batch", str(batch)],
             capture_output=True, text=True, timeout=3600,
