@@ -165,3 +165,53 @@ class TestFactory:
         x = jnp.zeros((1, 32, 32, 32, 1))
         _, y = _init_and_apply(m, x)
         assert y.shape == (1, 4, 4, 4, 1)
+
+
+class TestLayoutParity:
+    """NXCYZ (TPU layout engine) vs NXYZC: identical param trees + outputs.
+
+    On CPU the NXCYZ convs take the XLA transpose fallback, so this validates
+    the layout *plumbing* (axes, concat, norm, upsample, entry/exit reshapes);
+    kernel parity is tests/test_conv_cxyz.py (+ on-chip tests/test_pallas_tpu).
+    """
+
+    KW = dict(upsample_mode="simple", dropout=0.1, dropout_change_per_layer=0.1,
+              dropout_type="none", filters=4, num_layers=2, output_activation="tanh")
+
+    @pytest.mark.quick
+    def test_resunet_layouts_match(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+        m1 = ResUNet3D(**self.KW, layout="NXYZC")
+        m2 = ResUNet3D(**self.KW, layout="NXCYZ")
+        v1 = m1.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        v2 = m2.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+        for a, b in zip(jax.tree_util.tree_leaves(v1), jax.tree_util.tree_leaves(v2)):
+            assert a.shape == b.shape
+        y1 = m1.apply(v1, x, train=False)
+        y2 = m2.apply(v2, x, train=False)  # same seed -> identical params
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=5e-5)
+
+    @pytest.mark.quick
+    def test_discriminator_layouts_match(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+        d1 = PatchGANDiscriminator3D(filters=8, layout="NXYZC")
+        d2 = PatchGANDiscriminator3D(filters=8, layout="NXCYZ")
+        v1 = d1.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+        v2 = d2.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+        assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+        z1 = d1.apply(v1, x, train=False)
+        z2 = d2.apply(v2, x, train=False)
+        assert z1.shape == z2.shape
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=5e-5)
+
+    def test_resunet_nxcyz_train_mode_runs(self, rng):
+        """Stochastic layers (dropout/noise collections) work in CXYZ."""
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+        m = ResUNet3D(upsample_mode="simple", dropout=0.3, dropout_type="spatial",
+                      filters=4, num_layers=2, layout="NXCYZ", use_input_noise=True)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        y = m.apply(v, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)})
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()

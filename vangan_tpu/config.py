@@ -91,6 +91,11 @@ class VanGanConfig:
     # --- TPU-native knobs (new; no reference equivalent) ---
     seed: int = 0
     compute_dtype: str = "bfloat16"  # conv compute dtype; params always float32
+    # Activation layout: 'NXCYZ' (the TPU layout engine — sublanes=Y, lanes=Z,
+    # channels outer; Pallas conv kernels, zero lane padding at any channel
+    # count) or 'NXYZC' (channels-last portable fallback). Checkpoints are
+    # layout-portable (identical param trees). See docs/PERF.md.
+    layout: str = "NXCYZ"
     mesh_axis: str = "data"
     cldice_groups: Optional[int] = None  # derived: N_DEVICES (see losses/vangan_losses.py)
     # fused Pallas soft-skeleton kernels (auto-fallback to XLA off-TPU or for

@@ -18,12 +18,14 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vangan_tpu.models.layers import (
+    ConvND,
     DiscDownsample,
     Dtype,
     GaussianNoise,
     InstanceNorm,
-    conv_nd,
     spatial_dropout,
+    to_nxcyz,
+    to_nxyzc,
 )
 from vangan_tpu.ops.pad import reflect_pad
 
@@ -40,6 +42,7 @@ class PatchGANDiscriminator3D(nn.Module):
     use_input_noise: bool = False
     use_layer_noise: bool = False
     noise_std: float = 0.1
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -47,20 +50,27 @@ class PatchGANDiscriminator3D(nn.Module):
         self, x: jnp.ndarray, train: bool = False, noise_std: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         x = x.astype(self.dtype or x.dtype)
-        x = reflect_pad(x, 1)
+        lt = self.layout
+        fold_pad = lt == "NXCYZ"
+        if fold_pad:
+            x = to_nxcyz(x)  # (B,X,Y,Z,1) -> (B,X,1,Y,Z), metadata-only
+        else:
+            x = reflect_pad(x, 1)
         if self.use_input_noise:
             x = GaussianNoise(self.noise_std, name="input_noise")(
                 x, deterministic=not train, stddev=noise_std
             )
 
-        first_conv = conv_nd(
-            self.filters, 4, 2, "VALID", use_bias=True, dtype=self.dtype, name="conv0"
+        first_conv = ConvND(
+            self.filters, 4, 2,
+            padding=((1, 1),) * 3 if fold_pad else "valid",
+            pad_mode="reflect", use_bias=True, layout=lt, dtype=self.dtype, name="conv0",
         )
         if self.use_SN:
             x = nn.SpectralNorm(first_conv)(x, update_stats=train)
         else:
             x = first_conv(x)
-            x = InstanceNorm(dtype=self.dtype, name="inorm0")(x)
+            x = InstanceNorm(layout=lt, dtype=self.dtype, name="inorm0")(x)
         x = nn.leaky_relu(x, 0.2)
 
         num_filters = self.filters
@@ -79,6 +89,7 @@ class PatchGANDiscriminator3D(nn.Module):
                 use_spec_norm=self.use_SN,
                 use_layer_noise=self.use_layer_noise,
                 noise_std=self.noise_std,
+                layout=lt,
                 dtype=self.dtype,
                 name=f"down{block}",
             )(x, train=train, noise_std=noise_std)
@@ -88,7 +99,10 @@ class PatchGANDiscriminator3D(nn.Module):
                 x, deterministic=not train, stddev=noise_std
             )
 
-        x = conv_nd(1, 3, 1, "SAME", use_bias=True, dtype=self.dtype, name="head")(x)
+        x = ConvND(1, 3, 1, padding="same", use_bias=True, layout=lt, dtype=self.dtype,
+                   name="head")(x)
+        if fold_pad:
+            x = to_nxyzc(x)  # (B,Xo,1,Yo,Zo) -> (B,Xo,Yo,Zo,1), metadata-only
         x = x.astype(jnp.float32)
 
         if self.wasserstein:

@@ -27,6 +27,7 @@ def build_generator(kind: str, cfg, role: str = "i2s") -> nn.Module:
     """
     dtype = _dtype_of(cfg)
     f = getattr(cfg, "gen_filters", 16)
+    layout = getattr(cfg, "layout", "NXYZC")
     if kind == "resnet":
         return ResNetGenerator3D(
             filters=2 * f, num_downsampling_blocks=3, num_residual_blocks=6,
@@ -50,7 +51,7 @@ def build_generator(kind: str, cfg, role: str = "i2s") -> nn.Module:
         return ResUNet3D(
             upsample_mode="simple", dropout=0.1, dropout_change_per_layer=0.1,
             dropout_type="none", use_attention_gate=False, filters=f, num_layers=4,
-            output_activation="tanh", use_input_noise=False, dtype=dtype,
+            output_activation="tanh", use_input_noise=False, layout=layout, dtype=dtype,
         )
     raise ValueError(f"Generator type not recognised: {kind!r}")
 
@@ -66,5 +67,6 @@ def build_discriminator(cfg) -> PatchGANDiscriminator3D:
         use_input_noise=True,
         use_layer_noise=True,
         noise_std=getattr(cfg, "layer_noise", 0.1),
+        layout=getattr(cfg, "layout", "NXYZC"),
         dtype=_dtype_of(cfg),
     )

@@ -20,11 +20,37 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 from vangan_tpu.ops.pad import reflect_pad
+from vangan_tpu.ops.pallas.conv3d import (
+    _norm_padding,
+    _norm_stride,
+    conv3d_cxyz,
+    conv3d_cxyz_fits,
+    conv3d_cxyz_reference,
+    pallas_active,
+)
 
 Dtype = Any
 
 he_normal = nn.initializers.he_normal
+
+# Layouts: 'NXYZC' — channels-last, XLA's native conv layout (round-1 path,
+# portable); 'NXCYZ' — the TPU layout engine: sublanes=Y, lanes=Z, channels as
+# an outer dim, so C in {1,16,32,48,...} tensors tile with ZERO lane padding
+# (docs/PERF.md: channels-last C=16 pads 8-16x and runs convs at ~1.4% MXU).
+LAYOUTS = ("NXYZC", "NXCYZ")
+
+
+def channel_axis(layout: str) -> int:
+    return -1 if layout == "NXYZC" else 2
+
+
+def spatial_axes(layout: str, ndim: int = 5) -> tuple:
+    if layout == "NXYZC":
+        return tuple(range(1, ndim - 1))
+    return (1,) + tuple(range(3, ndim))
 
 
 def he_normal_1d(key, shape, dtype=jnp.float32):
@@ -62,6 +88,83 @@ def conv_nd(
     )
 
 
+class ConvND(nn.Module):
+    """Layout-dispatching 3-D convolution with nn.Conv-compatible parameters.
+
+    Params are ``kernel`` (kx,ky,kz,Ci,Co) he_normal + optional ``bias`` (Co,)
+    — the same pytree as flax ``nn.Conv``, so checkpoints are portable between
+    layouts. Padding (incl. the reference's reflect-pad-then-VALID idiom,
+    building_blocks.py:15-39) is part of the op: ``pad_mode`` 'zeros'|'reflect'
+    with 'same'/'valid'/explicit widths.
+
+    - layout 'NXYZC': host pad + ``lax.conv_general_dilated`` (XLA's native
+      channels-last TPU conv) — the round-1 portable path.
+    - layout 'NXCYZ': the Pallas CXYZ kernel family (ops/pallas/conv3d.py) on
+      TPU; off-TPU (or below ``min_pallas_z`` lanes, where slab overheads beat
+      the lane-padding win) the semantics-identical XLA transpose fallback.
+
+    Divergence note (NXCYZ): reflect padding is folded into the conv, so any
+    *preceding* stochastic layer samples noise on the unpadded tensor — border
+    voxels see reflected noise instead of fresh i.i.d. noise. Statistically
+    negligible; the NXYZC path keeps the reference order exactly.
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    padding: Any = "same"  # 'same' | 'valid' | ((lo,hi),(lo,hi),(lo,hi))
+    pad_mode: str = "zeros"
+    use_bias: bool = True
+    layout: str = "NXYZC"
+    min_pallas_z: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = (
+            (self.kernel_size,) * 3
+            if isinstance(self.kernel_size, int)
+            else tuple(self.kernel_size)
+        )
+        ci = x.shape[channel_axis(self.layout)]
+        kernel = self.param("kernel", he_normal(), (*k, ci, self.features), jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        stride = _norm_stride(self.strides)
+        pads = _norm_padding(self.padding, k, stride)
+
+        if self.layout == "NXCYZ":
+            # Pallas pays off where lane padding hurts XLA: small/odd channel
+            # counts at z >= min_pallas_z lanes. At C >= 128 channels-last XLA
+            # is already well tiled (and the z-lane padding to 128 would waste
+            # MXU work), so those levels take the transpose fallback.
+            use_pallas = (
+                pallas_active()
+                and x.shape[-1] >= self.min_pallas_z
+                and max(ci, self.features) < 128
+                and conv3d_cxyz_fits(
+                    x.shape, k, stride, x.dtype.itemsize, co=self.features
+                )
+            )
+            fn = conv3d_cxyz if use_pallas else conv3d_cxyz_reference
+            return fn(x, kernel, bias, stride, pads, self.pad_mode)
+
+        if self.pad_mode == "reflect" and any(lo or hi for lo, hi in pads):
+            x = jnp.pad(x, ((0, 0), *pads, (0, 0)), mode="reflect")
+            pads = ((0, 0),) * 3
+        dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NXYZC", "XYZIO", "NXYZC"))
+        y = lax.conv_general_dilated(x, kernel, stride, list(pads), dimension_numbers=dn)
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+
+
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalisation over spatial dims.
 
@@ -75,12 +178,16 @@ class InstanceNorm(nn.Module):
     use_scale: bool = True
     use_bias: bool = True
     gamma_init: Callable = nn.initializers.ones
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
-        axes = tuple(range(1, x.ndim - 1))
+        cax = channel_axis(self.layout) % x.ndim
+        c = x.shape[cax]
+        bshape = [1] * x.ndim
+        bshape[cax] = c
+        axes = spatial_axes(self.layout, x.ndim)
         # Statistics accumulate in float32 via the reduction dtype; the
         # elementwise math stays in the compute dtype. (A full f32 cast of the
         # activation would materialise GB-scale padded temporaries at 128^3 —
@@ -92,10 +199,10 @@ class InstanceNorm(nn.Module):
         y = xc * inv.astype(x.dtype)
         if self.use_scale:
             gamma = self.param("scale", self.gamma_init, (c,), jnp.float32)
-            y = y * gamma.astype(x.dtype)
+            y = y * gamma.astype(x.dtype).reshape(bshape)
         if self.use_bias:
             beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-            y = y + beta.astype(x.dtype)
+            y = y + beta.astype(x.dtype).reshape(bshape)
         return y.astype(self.dtype or x.dtype)
 
 
@@ -121,16 +228,21 @@ class GaussianNoise(nn.Module):
         return x + jnp.asarray(std, x.dtype) * jax.random.normal(rng, x.shape, x.dtype)
 
 
-def spatial_dropout(rate: float, n_spatial: int = 3, name: Optional[str] = None) -> nn.Dropout:
+def spatial_dropout(
+    rate: float, n_spatial: int = 3, name: Optional[str] = None, layout: str = "NXYZC"
+) -> nn.Dropout:
     """Keras SpatialDropout3D/2D: drops whole channels (mask broadcast over space)."""
-    return nn.Dropout(rate=rate, broadcast_dims=tuple(range(1, 1 + n_spatial)), name=name)
+    dims = spatial_axes(layout, n_spatial + 2)
+    return nn.Dropout(rate=rate, broadcast_dims=dims, name=name)
 
 
-def make_dropout(dropout_type: str, rate: float, n_spatial: int = 3) -> Optional[nn.Dropout]:
+def make_dropout(
+    dropout_type: str, rate: float, n_spatial: int = 3, layout: str = "NXYZC"
+) -> Optional[nn.Dropout]:
     """Reference dropout_type dispatch: 'spatial' | 'standard' | 'none'
     (resunet_model.py:138-141, vnet_model.py:110-117)."""
     if dropout_type == "spatial":
-        return spatial_dropout(rate, n_spatial)
+        return spatial_dropout(rate, n_spatial, layout=layout)
     if dropout_type == "standard":
         return nn.Dropout(rate=rate)
     if dropout_type in ("none", None):
@@ -138,22 +250,37 @@ def make_dropout(dropout_type: str, rate: float, n_spatial: int = 3) -> Optional
     raise ValueError(f"dropout_type must be 'spatial', 'standard' or 'none', got {dropout_type!r}")
 
 
-def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """Keras UpSampling3D(size=2) (nearest-neighbour repeat) for channels-last volumes."""
-    for axis in range(1, x.ndim - 1):
+def upsample_nearest(x: jnp.ndarray, factor: int = 2, layout: str = "NXYZC") -> jnp.ndarray:
+    """Keras UpSampling3D(size=2) (nearest-neighbour repeat)."""
+    for axis in spatial_axes(layout, x.ndim):
         x = jnp.repeat(x, factor, axis=axis)
     return x
+
+
+def to_nxyzc(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, X, C, Y, Z) -> (B, X, Y, Z, C). A metadata-only reshape when C == 1."""
+    if x.shape[2] == 1:
+        return x.reshape(x.shape[0], x.shape[1], *x.shape[3:], 1)
+    return jnp.transpose(x, (0, 1, 3, 4, 2))
+
+
+def to_nxcyz(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, X, Y, Z, C) -> (B, X, C, Y, Z). A metadata-only reshape when C == 1."""
+    if x.shape[-1] == 1:
+        return x.reshape(x.shape[0], x.shape[1], 1, x.shape[2], x.shape[3])
+    return jnp.transpose(x, (0, 1, 4, 2, 3))
 
 
 class NormAct(nn.Module):
     """InstanceNorm followed by optional ReLU (resunet_model.py:23-39)."""
 
     act: bool = True
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = InstanceNorm(dtype=self.dtype, name="inorm")(x)
+        x = InstanceNorm(layout=self.layout, dtype=self.dtype, name="inorm")(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -165,15 +292,16 @@ class PreActConvBlock(nn.Module):
     filters: int
     kernel_size: int = 3
     strides: int = 1
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = NormAct(dtype=self.dtype, name="norm_act")(x)
-        x = reflect_pad(x, self.kernel_size // 2)
-        x = conv_nd(
-            self.filters, self.kernel_size, self.strides, "VALID", use_bias=True, dtype=self.dtype,
-            name="conv",
+        x = NormAct(layout=self.layout, dtype=self.dtype, name="norm_act")(x)
+        p = self.kernel_size // 2
+        x = ConvND(
+            self.filters, self.kernel_size, self.strides, padding=((p, p),) * 3,
+            pad_mode="reflect", layout=self.layout, dtype=self.dtype, name="conv",
         )(x)
         return x
 
@@ -183,15 +311,25 @@ class Stem(nn.Module):
     (resunet_model.py:69-100)."""
 
     filters: int
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        conv = reflect_pad(x, 1)
-        conv = conv_nd(self.filters, 3, 1, "VALID", dtype=self.dtype, name="conv1")(conv)
-        conv = PreActConvBlock(self.filters, dtype=self.dtype, name="conv_block")(conv)
-        shortcut = conv_nd(self.filters, 1, 1, "SAME", dtype=self.dtype, name="shortcut")(x)
-        shortcut = NormAct(act=False, dtype=self.dtype, name="shortcut_norm")(shortcut)
+        conv = ConvND(
+            self.filters, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect",
+            layout=self.layout, dtype=self.dtype, name="conv1",
+        )(x)
+        conv = PreActConvBlock(
+            self.filters, layout=self.layout, dtype=self.dtype, name="conv_block"
+        )(conv)
+        shortcut = ConvND(
+            self.filters, 1, 1, padding="same", layout=self.layout, dtype=self.dtype,
+            name="shortcut",
+        )(x)
+        shortcut = NormAct(act=False, layout=self.layout, dtype=self.dtype, name="shortcut_norm")(
+            shortcut
+        )
         return conv + shortcut
 
 
@@ -203,16 +341,28 @@ class ResUNetResidualBlock(nn.Module):
     strides: int = 1
     dropout_type: str = "none"
     dropout: float = 0.0
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        res = PreActConvBlock(self.filters, strides=self.strides, dtype=self.dtype, name="block1")(x)
-        res = PreActConvBlock(self.filters, strides=1, dtype=self.dtype, name="block2")(res)
-        shortcut = conv_nd(self.filters, 1, self.strides, "SAME", dtype=self.dtype, name="shortcut")(x)
-        shortcut = NormAct(act=False, dtype=self.dtype, name="shortcut_norm")(shortcut)
+        res = PreActConvBlock(
+            self.filters, strides=self.strides, layout=self.layout, dtype=self.dtype,
+            name="block1",
+        )(x)
+        res = PreActConvBlock(
+            self.filters, strides=1, layout=self.layout, dtype=self.dtype, name="block2"
+        )(res)
+        shortcut = ConvND(
+            self.filters, 1, self.strides, padding="same", layout=self.layout,
+            dtype=self.dtype, name="shortcut",
+        )(x)
+        shortcut = NormAct(act=False, layout=self.layout, dtype=self.dtype, name="shortcut_norm")(
+            shortcut
+        )
         out = shortcut + res
-        do = make_dropout(self.dropout_type, self.dropout, n_spatial=x.ndim - 2)
+        do = make_dropout(self.dropout_type, self.dropout, n_spatial=x.ndim - 2,
+                          layout=self.layout)
         if do is not None:
             out = do(out, deterministic=not train)
         return out
@@ -223,14 +373,18 @@ class AttentionGate(nn.Module):
     skip connection."""
 
     n_intermediate_filters: int
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, inp_1: jnp.ndarray, inp_2: jnp.ndarray) -> jnp.ndarray:
-        a = conv_nd(self.n_intermediate_filters, 1, 1, "SAME", dtype=self.dtype, name="conv1")(inp_1)
-        b = conv_nd(self.n_intermediate_filters, 1, 1, "SAME", dtype=self.dtype, name="conv2")(inp_2)
+        a = ConvND(self.n_intermediate_filters, 1, 1, padding="same", layout=self.layout,
+                   dtype=self.dtype, name="conv1")(inp_1)
+        b = ConvND(self.n_intermediate_filters, 1, 1, padding="same", layout=self.layout,
+                   dtype=self.dtype, name="conv2")(inp_2)
         f = nn.relu(a + b)
-        g = conv_nd(1, 1, 1, "SAME", dtype=self.dtype, name="conv_out")(f)
+        g = ConvND(1, 1, 1, padding="same", layout=self.layout, dtype=self.dtype,
+                   name="conv_out")(f)
         h = nn.sigmoid(g)
         return inp_1 * h
 
@@ -238,15 +392,17 @@ class AttentionGate(nn.Module):
 class AttentionConcat(nn.Module):
     """Concat upsampled features with the attention-gated skip (vnet_model.py:64-77)."""
 
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, conv_below: jnp.ndarray, skip_connection: jnp.ndarray) -> jnp.ndarray:
-        below_filters = conv_below.shape[-1]
-        gated = AttentionGate(below_filters, dtype=self.dtype, name="gate")(
+        cax = channel_axis(self.layout)
+        below_filters = conv_below.shape[cax]
+        gated = AttentionGate(below_filters, layout=self.layout, dtype=self.dtype, name="gate")(
             skip_connection, conv_below
         )
-        return jnp.concatenate([conv_below, gated], axis=-1)
+        return jnp.concatenate([conv_below, gated], axis=cax)
 
 
 class DiscDownsample(nn.Module):
@@ -264,33 +420,42 @@ class DiscDownsample(nn.Module):
     use_layer_noise: bool = False
     noise_std: float = 0.1
     leaky_slope: float = 0.2
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False, noise_std: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        if self.padding == "valid":
+        # NXYZC keeps the reference order exactly (pad, then noise, then VALID
+        # conv); NXCYZ folds the reflect pad into the conv (noise pre-pad —
+        # see the ConvND divergence note).
+        fold_pad = self.layout == "NXCYZ"
+        if self.padding == "valid" and not fold_pad:
             x = reflect_pad(x, 1)
         if self.use_layer_noise:
             x = GaussianNoise(self.noise_std, name="noise")(
                 x, deterministic=not train, stddev=noise_std
             )
-        conv = conv_nd(
-            self.filters, self.kernel_size, self.strides,
-            "VALID" if self.padding == "valid" else "SAME",
-            use_bias=False, dtype=self.dtype, name="conv",
+        if self.padding == "valid":
+            pad = ((1, 1),) * 3 if fold_pad else "valid"
+            pad_mode = "reflect"
+        else:
+            pad, pad_mode = "same", "zeros"
+        conv = ConvND(
+            self.filters, self.kernel_size, self.strides, padding=pad, pad_mode=pad_mode,
+            use_bias=False, layout=self.layout, dtype=self.dtype, name="conv",
         )
         if self.use_spec_norm:
             x = nn.SpectralNorm(conv)(x, update_stats=train)
         else:
             x = conv(x)
-            x = InstanceNorm(dtype=self.dtype, name="inorm")(x)
+            x = InstanceNorm(layout=self.layout, dtype=self.dtype, name="inorm")(x)
         x = nn.leaky_relu(x, self.leaky_slope)
         if self.use_dropout:
-            x = spatial_dropout(self.dropout_rate, n_spatial=x.ndim - 2, name="dropout")(
-                x, deterministic=not train
-            )
+            x = spatial_dropout(
+                self.dropout_rate, n_spatial=x.ndim - 2, name="dropout", layout=self.layout
+            )(x, deterministic=not train)
         return x
 
 
@@ -300,17 +465,18 @@ class CycleGANResidualBlock(nn.Module):
     InstanceNorm (he_normal gamma), identity skip."""
 
     dim: int
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inp = x
         gamma = he_normal_1d
-        x = reflect_pad(x, 1)
-        x = conv_nd(self.dim, 3, 1, "VALID", use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = InstanceNorm(gamma_init=gamma, dtype=self.dtype, name="inorm1")(x)
+        x = ConvND(self.dim, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect", use_bias=False,
+                   layout=self.layout, dtype=self.dtype, name="conv1")(x)
+        x = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype, name="inorm1")(x)
         x = nn.relu(x)
-        x = reflect_pad(x, 1)
-        x = conv_nd(self.dim, 3, 1, "VALID", use_bias=False, dtype=self.dtype, name="conv2")(x)
-        x = InstanceNorm(gamma_init=gamma, dtype=self.dtype, name="inorm2")(x)
+        x = ConvND(self.dim, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect", use_bias=False,
+                   layout=self.layout, dtype=self.dtype, name="conv2")(x)
+        x = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype, name="inorm2")(x)
         return inp + x

@@ -22,13 +22,16 @@ import jax.numpy as jnp
 
 from vangan_tpu.models.layers import (
     AttentionConcat,
+    ConvND,
     Dtype,
     GaussianNoise,
     PreActConvBlock,
     ResUNetResidualBlock,
     Stem,
-    conv_nd,
+    channel_axis,
     he_normal,
+    to_nxcyz,
+    to_nxyzc,
     upsample_nearest,
 )
 
@@ -45,17 +48,23 @@ class ResUNet3D(nn.Module):
     num_layers: int = 4
     output_activation: Optional[str] = "tanh"
     use_input_noise: bool = False
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         f = [self.filters * (2**i) for i in range(self.num_layers + 1)]
         x = x.astype(self.dtype or x.dtype)
+        lt = self.layout
 
         if self.use_input_noise:
             x = GaussianNoise(0.2, name="input_noise")(x, deterministic=not train)
 
-        x = Stem(f[0], dtype=self.dtype, name="stem")(x)
+        if lt == "NXCYZ":
+            # (B, X, Y, Z, 1) -> (B, X, 1, Y, Z): metadata-only for C == 1
+            x = to_nxcyz(x)
+
+        x = Stem(f[0], layout=lt, dtype=self.dtype, name="stem")(x)
         skips = [x]
 
         # Encoder (resunet_model.py:230-233)
@@ -65,19 +74,23 @@ class ResUNet3D(nn.Module):
                 strides=2,
                 dropout_type=self.dropout_type,
                 dropout=self.dropout + (e - 1) * self.dropout_change_per_layer,
+                layout=lt,
                 dtype=self.dtype,
                 name=f"enc{e}",
             )(x, train=train)
             skips.append(x)
 
         # Bridge (resunet_model.py:236-238)
-        x = PreActConvBlock(f[-1], dtype=self.dtype, name="bridge1")(x)
-        x = PreActConvBlock(f[-1], dtype=self.dtype, name="bridge2")(x)
+        x = PreActConvBlock(f[-1], layout=lt, dtype=self.dtype, name="bridge1")(x)
+        x = PreActConvBlock(f[-1], layout=lt, dtype=self.dtype, name="bridge2")(x)
 
         # Decoder (resunet_model.py:240-243)
         for d in reversed(range(self.num_layers)):
             if self.upsample_mode == "deconv":
-                x = nn.ConvTranspose(
+                # params identical across layouts; NXCYZ routes through XLA's
+                # channels-last transposed conv (non-default mode)
+                xl = to_nxyzc(x) if lt == "NXCYZ" else x
+                xl = nn.ConvTranspose(
                     features=f[d + 1],
                     kernel_size=(2, 2, 2),
                     strides=(2, 2, 2),
@@ -86,17 +99,23 @@ class ResUNet3D(nn.Module):
                     dtype=self.dtype,
                     param_dtype=jnp.float32,
                     name=f"deconv{d}",
-                )(x)
+                )(xl)
+                x = to_nxcyz(xl) if lt == "NXCYZ" else xl
             else:
-                x = upsample_nearest(x, 2)
+                x = upsample_nearest(x, 2, layout=lt)
             if self.use_attention_gate:
-                x = AttentionConcat(dtype=self.dtype, name=f"attn{d}")(x, skips[d])
+                x = AttentionConcat(layout=lt, dtype=self.dtype, name=f"attn{d}")(x, skips[d])
             else:
-                x = jnp.concatenate([x, skips[d]], axis=-1)
-            x = ResUNetResidualBlock(f[d], dtype=self.dtype, name=f"dec{d}")(x, train=train)
+                x = jnp.concatenate([x, skips[d]], axis=channel_axis(lt))
+            x = ResUNetResidualBlock(f[d], layout=lt, dtype=self.dtype, name=f"dec{d}")(
+                x, train=train
+            )
 
         # Head (resunet_model.py:245)
-        x = conv_nd(1, 1, 1, "SAME", use_bias=True, dtype=self.dtype, name="head")(x)
+        x = ConvND(1, 1, 1, padding="same", use_bias=True, layout=lt, dtype=self.dtype,
+                   name="head")(x)
+        if lt == "NXCYZ":
+            x = to_nxyzc(x)  # (B, X, 1, Y, Z) -> (B, X, Y, Z, 1), metadata-only
         x = x.astype(jnp.float32)
         if self.output_activation == "tanh":
             x = jnp.tanh(x)

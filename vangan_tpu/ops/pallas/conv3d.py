@@ -1,32 +1,59 @@
-"""EXPERIMENTAL: CXYZ-layout Pallas 3-D convolution (round-2 layout engine).
+"""CXYZ-layout Pallas 3-D convolution family (forward, dgrad, wgrad).
 
-Motivation (docs/PERF.md): channels-last 3-D convs at C=16 run at ~1.4% MXU on
-TPU because XLA pads the 16-channel minor dim to 128 lanes in every
-materialised tensor. This kernel operates on the **(B, X, C, Y, Z)** layout —
-sublanes=Y, lanes=Z, channels as an outer dim — where tensors tile with zero
-padding for ANY channel count.
+Motivation (docs/PERF.md): channels-last 3-D convs at C in {1,16,32} run at
+~1.4% MXU on TPU because XLA pads the small channel minor dim to 128 lanes in
+every materialised tensor. These kernels operate on the **(B, X, C, Y, Z)**
+layout — sublanes=Y, lanes=Z, channels as an outer dim — where tensors tile
+with zero padding for ANY channel count. This is the round-2 layout engine
+(VERDICT.md item 1) that the reference never needed: its TF/CUDA backend is
+channels-last-native (resunet_model.py / discriminator.py simply call Conv3D).
 
-Formulation: out[z] = sum_k w_k * x[z+k-1] splits into three z-groups. Per
-(x, y-block) ONE (Co x 9Ci) @ (9Ci x yb*Z) MXU matmul per group (the 9 (dx,dy)
-taps are direct slices of the VMEM slab — no transposes, no lane shifts), and
-the k=0/2 group results are z-shifted by multiplying with a constant 128x128
-shift matrix (also MXU work — Mosaic's lane rotate/offset-concat paths are
-broken on this toolchain, see the git history of this file).
+Formulation
+-----------
+For output x-row ``xo`` and an (x, y) output block, the kx*ky (dx, dy) taps are
+direct (optionally strided — for stride-2) slices of a VMEM slab, stacked into
+a patch matrix ``P`` of shape (kx*ky*Ci, yb*Z). Each z-tap is ONE MXU matmul
+``R_dz = W_dz @ P``; z padding *and* z stride are folded into constant 0/1
+select matrices ``S_dz`` with ``S_dz[i, j] = 1  iff  i == map(sz*j + dz - lo)``
+(``map`` = identity for zero padding, index reflection for reflect padding;
+out-of-range rows are simply absent). ``out = sum_dz R_dz @ S_dz`` — applied
+as one stacked matmul, with the identity tap (stride 1, dz == lo) added
+directly. Lane rotates / offset-slice concats do not lower on this toolchain
+(see round-1 git history), which is why shifts are matmuls.
 
-Status: forward-only prototype, NOT wired into the models (that requires the
-full layout engine: all ops in CXYZ + dgrad/wgrad kernels — docs/ROADMAP.md).
-Math verified in interpret mode; see tests/test_pallas_tpu.py::TestConvCXYZ.
+Gradients (custom_vjp on the core; x/y padding stays OUTSIDE the core so
+``jnp.pad``'s own vjp handles zero/reflect fold-back):
+
+- dgrad: parity decomposition of the transposed conv. For stride s, output
+  parity p uses taps ``d = s*e + p`` — a *stride-1* conv of the cotangent with
+  the flipped parity sub-kernel (ci/co swapped), z handled by the TRANSPOSED
+  select stack (the vjp of a constant linear map). Sub-results interleave on
+  the host. Stride 1 is the trivial single-parity case of the same code path.
+- wgrad: per slab, ``dW_dz += (G @ S_dz^T)  x-contract  P`` via an A@B^T
+  ``dot_general`` (MXU-native), accumulated across the sequential TPU grid in
+  a constant-index f32 output block.
+
+Supported: any kernel size, strides 1/2 per axis, zero/reflect padding, any
+channel counts, any Z (lanes pad internally below 128). Output x/y dims are
+computed over-sized to a block multiple and trimmed on the host.
+
+Reference behaviours covered (capability, not translation): reflect-pad+VALID
+convs (building_blocks.py:15-39 + every model conv), SAME convs, stride-2
+encoders (resunet_model.py:103-143), 4^3 PatchGAN convs (discriminator.py:
+46-121), 1^3 shortcuts/heads, 7^3 ResNet-generator stem (generator.py:34-40).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-try:
+try:  # Pallas lowering needs a TPU backend; import guarded for CPU envs
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -34,108 +61,708 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
+Pad3 = Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]]
 
-def _shift_matrix(z: int, s: int, dtype) -> jnp.ndarray:
-    """S with S[i, j] = 1 iff i == j + s, so (R @ S)[., j] = R[., j + s]."""
-    rows = lax.broadcasted_iota(jnp.int32, (z, z), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (z, z), 1)
-    return (rows == cols + s).astype(dtype)
+_INTERPRET = False  # set True (or use force_interpret()) to run kernels interpreted
 
 
-def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sem, *, xb: int, yb: int, ci: int, co: int):
-    """One grid step: (xb output rows) x (yb y-columns) of the output.
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
 
-    x_hbm: (B, X+2, Ci, Y+2, Z) — X and Y pre-padded with zeros by 1.
-    w_ref: (3, Co, 9*Ci) in VMEM — one (Co, 9Ci) block per z-tap k.
-    out:   blocked (1, xb, Co, yb, Z).
+
+def _interpret() -> bool:
+    return _INTERPRET or not _on_tpu()
+
+
+def pallas_active() -> bool:
+    """True when the Pallas conv kernels can execute: on TPU, or when tests
+    force interpreter mode."""
+    return _HAS_PALLAS and (_INTERPRET or _on_tpu())
+
+
+class force_interpret:
+    """Context manager: run the conv kernels in interpreter mode (tests)."""
+
+    def __enter__(self):
+        global _INTERPRET
+        self._old = _INTERPRET
+        _INTERPRET = True
+
+    def __exit__(self, *a):
+        global _INTERPRET
+        _INTERPRET = self._old
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _norm_stride(stride) -> Tuple[int, int, int]:
+    if isinstance(stride, int):
+        return (stride,) * 3
+    return tuple(stride)
+
+
+def _norm_padding(padding, k, stride) -> Pad3:
+    """'same' (TF SAME) / 'valid' / explicit ((lo,hi),)*3."""
+    if isinstance(padding, str):
+        p = padding.lower()
+        if p == "valid":
+            return ((0, 0),) * 3
+        if p == "same":
+            pads = []
+            for kk, ss in zip(k, stride):
+                total = max(kk - ss, 0)  # exact for dims divisible by stride
+                pads.append((total // 2, total - total // 2))
+            return tuple(pads)
+        raise ValueError(f"padding {padding!r}")
+    return tuple((int(lo), int(hi)) for lo, hi in padding)
+
+
+def _out_dim(n: int, k: int, s: int, lo: int, hi: int) -> int:
+    return (n + lo + hi - k) // s + 1
+
+
+# ---------------------------------------------------------------------------
+# z select matrices
+# ---------------------------------------------------------------------------
+
+
+def _z_selects(kz: int, zin: int, zo: int, sz: int, lo: int, mode: str):
+    """Per-z-tap select matrices: list of kz (zin, zo) 0/1 arrays with
+    S_dz[i, j] = 1 iff i == map(sz*j + dz - lo)."""
+    mats = []
+    for dz in range(kz):
+        s = np.zeros((zin, zo), np.float32)
+        idx = sz * np.arange(zo) + dz - lo
+        if mode == "reflect":
+            idx = np.abs(idx)
+            idx = np.where(idx >= zin, 2 * zin - 2 - idx, idx)
+            if np.any((idx < 0) | (idx >= zin)):
+                raise ValueError("reflect z padding wider than input")
+            valid = np.ones(zo, bool)
+        else:
+            valid = (idx >= 0) & (idx < zin)
+        s[idx[valid], np.arange(zo)[valid]] = 1.0
+        mats.append(s)
+    return mats
+
+
+def _pad_selects(mats, zp: int):
+    """Row-pad each (zin, zo) select to (zp, zo) (garbage lanes select zero)
+    and split out the identity tap.
+
+    In-kernel reshapes that cross the sublane/lane boundary only lower when
+    the lane dim is 128-aligned (measured, this toolchain), so inputs are
+    lane-padded to ``zp`` and the selects grow matching zero rows. Returns
+    (identity_tap, rest, s_cat) with s_cat the (len(rest)*zp, zo) stack.
     """
+    zin, zo = mats[0].shape
+    padded = [np.pad(m, ((0, zp - zin), (0, 0))) for m in mats]
+    identity_tap = None
+    if zo == zp:
+        for dz, s in enumerate(padded):
+            if np.array_equal(s, np.eye(zp, dtype=np.float32)):
+                identity_tap = dz
+                break
+    rest = [dz for dz in range(len(mats)) if dz != identity_tap]
+    s_cat = np.concatenate([padded[dz] for dz in rest], axis=0) if rest else None
+    return identity_tap, rest, s_cat
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _pack_w(w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(kx,ky,kz,Ci,Co) -> (kz, Co, kx*ky*Ci), tap order (dx, dy) major, ci minor."""
+    kx, ky, kz, ci, co = w.shape
+    return jnp.transpose(w, (2, 4, 0, 1, 3)).reshape(kz, co, kx * ky * ci).astype(dtype)
+
+
+def _tap_matrix(x_vmem, xo, *, xb, yb, k, stride, ci, zin):
+    """Stack the kx*ky (dx, dy) tap slices for output row ``xo`` (a traced
+    index — the xo loop is a fori_loop so VMEM temporaries are reused, not
+    stacked per unrolled iteration) into the (kx*ky*Ci, yb*Zp) patch matrix.
+
+    y-stride-2 taps parity-split the sublane dim via reshape (direct strided
+    loads only lower for 32-bit data on this toolchain; reshape+index works
+    for bf16 too).
+    """
+    kx, ky, _ = k
+    sx, sy, _ = stride
+    taps = []
+    for dx in range(kx):
+        row = x_vmem[pl.ds(sx * xo + dx, 1)][0]  # (Ci, ys, Zp)
+        if sy == 1:
+            for dy in range(ky):
+                taps.append(row[:, dy : dy + yb])
+        elif sy == 2:
+            rp = row.reshape(ci, row.shape[1] // 2, 2, zin)
+            for dy in range(ky):
+                taps.append(rp[:, dy // 2 : dy // 2 + yb, dy % 2])
+        else:  # pragma: no cover
+            raise NotImplementedError(f"y stride {sy}")
+    return jnp.stack(taps, axis=0).reshape(kx * ky * ci, yb * zin)
+
+
+def _fwd_kernel(
+    *refs,
+    xb: int,
+    yb: int,
+    k: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    ci: int,
+    co: int,
+    zin: int,
+    zo: int,
+    id_tap: Optional[int],
+    rest: Sequence[int],
+    has_bias: bool,
+    unroll: bool,
+):
+    if rest:
+        if has_bias:
+            x_hbm, w_ref, s_ref, b_ref, out_ref, x_vmem, sem = refs
+        else:
+            x_hbm, w_ref, s_ref, out_ref, x_vmem, sem = refs
+    else:
+        if has_bias:
+            x_hbm, w_ref, b_ref, out_ref, x_vmem, sem = refs
+        else:
+            x_hbm, w_ref, out_ref, x_vmem, sem = refs
+    kx, ky, kz = k
+    sx, sy, sz = stride
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
-    # per-x-row DMAs: a single copy with a strided slice *between* full dims
-    # (at[b, ds, :, ds]) faults the TPU worker on this toolchain. The y slice
-    # must be sublane-aligned: start j*yb (yb % 8 == 0) and size rounded up to
-    # a multiple of 8 (the input is y-overpadded so the read stays in bounds).
-    ys = ((yb + 2 + 7) // 8) * 8
+    xb_in = sx * (xb - 1) + kx
+    ys = x_vmem.shape[2]
+    # Per-x-row DMAs (a single strided copy between full dims faults the TPU
+    # worker on this toolchain); start all, then wait all, to overlap.
     copies = [
         pltpu.make_async_copy(
-            x_hbm.at[b, i * xb + r, slice(None), pl.ds(j * yb, ys)],
+            x_hbm.at[b, i * sx * xb + r, slice(None), pl.ds(j * sy * yb, ys)],
             x_vmem.at[r],
             sem,
         )
-        for r in range(xb + 2)
+        for r in range(xb_in)
     ]
     for c in copies:
         c.start()
+    for c in copies:
         c.wait()
-    slab = x_vmem[:]  # (xb+2, Ci, yb+2, Z)
-    z = slab.shape[-1]
-    w = w_ref[:]  # (3, Co, 9*Ci)
+    w = w_ref[:]  # (kz, Co, kx*ky*Ci)
 
-    s_minus = _shift_matrix(z, -1, jnp.float32)
-    s_plus = _shift_matrix(z, 1, jnp.float32)
+    def body(xo, _):
+        p = _tap_matrix(x_vmem, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
 
-    for xo in range(xb):
-        taps = []
-        for dx in range(3):
-            row = slab[xo + dx]  # (Ci, yb+2, Z)
-            for dy in range(3):
-                taps.append(row[:, dy : dy + yb])  # (Ci, yb, Z)
-        p9 = jnp.stack(taps, axis=0).reshape(9 * ci, yb * z)  # (9Ci, yb*Z)
+        out = None
+        if id_tap is not None:
+            out = jnp.dot(w[id_tap], p, preferred_element_type=jnp.float32).reshape(
+                co * yb, zin
+            )
+        if rest:
+            rs = [
+                jnp.dot(w[dz], p, preferred_element_type=jnp.float32)
+                .reshape(co * yb, zin)
+                .astype(p.dtype)
+                for dz in rest
+            ]
+            r_cat = rs[0] if len(rs) == 1 else jnp.concatenate(rs, axis=-1)
+            shifted = jnp.dot(r_cat, s_ref[:], preferred_element_type=jnp.float32)
+            out = shifted if out is None else out + shifted
+        o3 = out.reshape(co, yb, zo)
+        if has_bias:
+            o3 = o3 + b_ref[:].reshape(co, 1, 1)
+        out_ref[0, pl.ds(xo, 1)] = o3.astype(out_ref.dtype)[None]
+        return 0
 
-        # out[z] = R0[z-1] + R1[z] + R2[z+1]   (Rk = W_k @ P9)
-        r0 = jnp.dot(w[0], p9, preferred_element_type=jnp.float32).reshape(co * yb, z)
-        r1 = jnp.dot(w[1], p9, preferred_element_type=jnp.float32).reshape(co * yb, z)
-        r2 = jnp.dot(w[2], p9, preferred_element_type=jnp.float32).reshape(co * yb, z)
-        o = (
-            jnp.dot(r0, s_minus, preferred_element_type=jnp.float32)
-            + r1
-            + jnp.dot(r2, s_plus, preferred_element_type=jnp.float32)
-        )
-        out_ref[0, xo] = o.reshape(co, yb, z).astype(out_ref.dtype)
+    if unroll:  # fastest; the fori_loop variant reuses VMEM stack instead
+        for xo in range(xb):
+            body(xo, 0)
+    else:
+        lax.fori_loop(0, xb, body, 0)
 
 
-def conv3d_cxyz(x: jnp.ndarray, w: jnp.ndarray, xb: int = 8, yb: int = 8) -> jnp.ndarray:
-    """3^3 stride-1 SAME conv in the (B, X, C, Y, Z) layout.
+_VMEM_BUDGET = 11 * 1024 * 1024  # stack + slab + weights budget (16M VMEM)
 
-    x: (B, X, Ci, Y, Z); w: (3, 3, 3, Ci, Co). Returns (B, X, Co, Y, Z).
-    Requires Z % 128 == 0, X % xb == 0, Y % yb == 0.
+
+def _per_xo_bytes(yb, k, ci, co, zp, itemsize) -> int:
+    """VMEM-stack estimate for one xo iteration's temporaries (P matrix, tap
+    dot results, select products). Mosaic stacks EVERY unrolled iteration's
+    temporaries (it also unrolls small static fori_loops), so the x block size
+    must be planned against this."""
+    kx, ky, kz = k
+    return yb * zp * (kx * ky * ci * itemsize + kz * co * 8) + yb * zp * 4 * co
+
+
+def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize) -> int:
+    kx, ky, kz = k
+    ys = _round_up(stride[1] * (yb - 1) + ky, 8)
+    slab = (stride[0] * (xb - 1) + kx) * ci * ys * zp * itemsize
+    w_bytes = kz * co * kx * ky * ci * itemsize
+    return xb * _per_xo_bytes(yb, k, ci, co, zp, itemsize) + slab + 2 * w_bytes
+
+
+def _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize) -> int:
+    """Largest x block whose unrolled VMEM stack fits (1 as the floor)."""
+    for xb in (8, 4, 2):
+        if xo_dim % xb == 0 and _stack_bytes(
+            xb, yb, k, stride, ci, co, zp, itemsize
+        ) <= _VMEM_BUDGET:
+            return xb
+    return 1
+
+
+def conv3d_cxyz_fits(x_shape, k, stride, itemsize=2, co=None) -> bool:
+    """Whether the Pallas kernels (fwd AND its dgrad/wgrad) fit VMEM at xb=1.
+    The dispatch layer (models.layers.ConvND) falls back to XLA otherwise."""
+    _, xdim, ci, _, zin = x_shape
+    co = co or ci
+    zp = max(128, _round_up(zin, 128))
+    return (
+        _stack_bytes(1, 8, k, stride, ci, co, zp, itemsize) <= _VMEM_BUDGET
+        and _stack_bytes(1, 8, k, (1, 1, 1), co, ci, zp, itemsize) <= _VMEM_BUDGET
+    )
+
+
+def _conv_fwd(
+    xp: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    stride: Tuple[int, int, int],
+    z_pad: Tuple[int, int],
+    z_mode: str,
+    selects=None,
+    out_dims: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Core conv on an x/y-prepadded input.
+
+    xp: (B, Xp, Ci, Yp, Zin); w: (kx,ky,kz,Ci,Co). z padding is implicit in the
+    select matrices (built from ``z_pad``/``z_mode`` unless ``selects`` is
+    given — dgrad passes transposed stacks). Output x/y dims are the exact
+    VALID sizes (or ``out_dims`` when the caller wants over-computed rows
+    trimmed later).
     """
-    b, xdim, ci, ydim, z = x.shape
-    co = w.shape[-1]
-    if not _HAS_PALLAS:
-        raise RuntimeError("Pallas unavailable")
-    # y over-padded so the sublane-aligned (rounded-up) slab reads stay in
-    # bounds for the last y-block
-    ys = ((yb + 2 + 7) // 8) * 8
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, ys - 1), (0, 0)))
-    # w (dx, dy, dz, ci, co) -> (dz, co, (dx*3+dy)*ci) to match the kernel's P9
-    w3 = jnp.transpose(w, (2, 4, 0, 1, 3)).reshape(3, co, 9 * ci).astype(x.dtype)
+    b, xdim, ci, ydim, zin = xp.shape
+    kx, ky, kz, wci, co = w.shape
+    assert wci == ci, (wci, ci)
+    sx, sy, sz = stride
 
-    kernel = functools.partial(_conv_kernel, xb=xb, yb=yb, ci=ci, co=co)
-    return pl.pallas_call(
+    if selects is None:
+        zo = _out_dim(zin, kz, sz, *z_pad)
+        mats = _z_selects(kz, zin, zo, sz, z_pad[0], z_mode)
+    else:
+        mats = selects
+        zo = mats[0].shape[1]
+    # lane-pad z to >=128 (in-kernel lane-crossing reshapes need 128-aligned
+    # lanes); the padded select rows are zero, killing the garbage lanes
+    zp = max(128, _round_up(zin, 128))
+    id_tap, rest, s_cat = _pad_selects(mats, zp)
+
+    xo_exact = _out_dim(xdim, kx, sx, 0, 0)
+    yo_exact = _out_dim(ydim, ky, sy, 0, 0)
+    xo_dim, yo_dim = out_dims if out_dims is not None else (xo_exact, yo_exact)
+    assert xo_dim <= xo_exact and yo_dim <= yo_exact
+
+    # Blocks: computed output is rounded up to a block multiple and trimmed.
+    yb = 8  # sy*yb is then a multiple of 8 -> sublane-aligned DMA starts
+    xb = _plan_xb(xo_dim, yb, (kx, ky, kz), stride, ci, co, zp, xp.dtype.itemsize)
+    xo_c = _round_up(xo_dim, xb)
+    yo_c = _round_up(yo_dim, yb)
+    # Over-pad x/y (zeros) so over-computed rows' DMA reads stay in bounds.
+    ys = _round_up(sy * (yb - 1) + ky, 8)
+    need_x = sx * (xo_c - xb) + sx * (xb - 1) + kx
+    need_y = sy * (yo_c - yb) + ys
+    extra = (max(0, need_x - xdim), max(0, need_y - ydim), zp - zin)
+    if extra != (0, 0, 0):
+        xp = jnp.pad(
+            xp, ((0, 0), (0, extra[0]), (0, 0), (0, extra[1]), (0, extra[2]))
+        )
+
+    dtype = xp.dtype
+    w3 = _pack_w(w, dtype)
+    inputs = [xp, w3]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if rest:
+        inputs.append(jnp.asarray(s_cat, dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    has_bias = bias is not None
+    if has_bias:
+        inputs.append(bias.reshape(co, 1).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
+        zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
+        unroll=True,
+    )
+    xb_in = sx * (xb - 1) + kx
+    y = pl.pallas_call(
         kernel,
-        grid=(b, xdim // xb, ydim // yb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        grid=(b, xo_c // xb, yo_c // yb),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, xb, co, yb, z), lambda bi, i, j: (bi, i, 0, j, 0), memory_space=pltpu.VMEM
+            (1, xb, co, yb, zo), lambda bi, i, j: (bi, i, 0, j, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, xdim, co, ydim, z), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, xo_c, co, yo_c, zo), dtype),
         scratch_shapes=[
-            pltpu.VMEM((xb + 2, ci, ((yb + 2 + 7) // 8) * 8, z), x.dtype),
+            pltpu.VMEM((xb_in, ci, ys, zp), dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(xp, w3)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3,
+        ),
+        interpret=_interpret(),
+    )(*inputs)
+    if (xo_c, yo_c) != (xo_dim, yo_dim):
+        y = y[:, :xo_dim, :, :yo_dim]
+    return y
 
 
-def conv3d_cxyz_reference(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """XLA reference for parity: same CXYZ in/out, conv via NXYZC transpose."""
+# ---------------------------------------------------------------------------
+# wgrad kernel
+# ---------------------------------------------------------------------------
+
+
+def _wgrad_kernel(
+    *refs,
+    xb: int,
+    yb: int,
+    k: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    ci: int,
+    co: int,
+    zin: int,
+    zo: int,
+    id_tap: Optional[int],
+    rest: Sequence[int],
+    unroll: bool,
+):
+    if rest:
+        x_hbm, g_ref, st_ref, dw_ref, x_vmem, sem = refs
+    else:
+        x_hbm, g_ref, dw_ref, x_vmem, sem = refs
+    kx, ky, kz = k
+    sx, sy, sz = stride
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when((b == 0) & (i == 0) & (j == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    xb_in = sx * (xb - 1) + kx
+    ys = x_vmem.shape[2]
+    copies = [
+        pltpu.make_async_copy(
+            x_hbm.at[b, i * sx * xb + r, slice(None), pl.ds(j * sy * yb, ys)],
+            x_vmem.at[r],
+            sem,
+        )
+        for r in range(xb_in)
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    def body(xo, _):
+        p = _tap_matrix(x_vmem, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
+
+        g2 = g_ref[0, pl.ds(xo, 1)][0].reshape(co * yb, zo)  # (Co*yb, Zo)
+        # Gd_dz = G @ S_dz^T, stacked: (Co*yb, len(rest)*Zp) in one matmul
+        gd_cat = None
+        if rest:
+            gd_cat = jnp.dot(
+                g2.astype(p.dtype), st_ref[:], preferred_element_type=jnp.float32
+            )
+        for n, dz in enumerate(
+            ([id_tap] if id_tap is not None else []) + list(rest)
+        ):
+            if id_tap is not None and n == 0:
+                gd = g2
+            else:
+                r = n - (1 if id_tap is not None else 0)
+                gd = gd_cat[:, r * zin : (r + 1) * zin]
+            gd = gd.reshape(co, yb * zin).astype(p.dtype)
+            # (Co, yb*Zin) x (kx*ky*Ci, yb*Zin)^T  ->  (Co, kx*ky*Ci)
+            contrib = lax.dot_general(
+                gd, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dw_ref[dz] += contrib
+        return 0
+
+    if unroll:
+        for xo in range(xb):
+            body(xo, 0)
+    else:
+        lax.fori_loop(0, xb, body, 0)
+
+
+def _conv_wgrad(
+    xp: jnp.ndarray,
+    g: jnp.ndarray,
+    k: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    z_pad: Tuple[int, int],
+    z_mode: str,
+) -> jnp.ndarray:
+    """dL/dw for the core conv. xp: (B,Xp,Ci,Yp,Zin); g: (B,Xo,Co,Yo,Zo)."""
+    b, xdim, ci, ydim, zin = xp.shape
+    _, xo_dim, co, yo_dim, zo = g.shape
+    kx, ky, kz = k
+    sx, sy, sz = stride
+    mats = _z_selects(kz, zin, zo, sz, z_pad[0], z_mode)
+    zp = max(128, _round_up(zin, 128))
+    id_tap, rest, _ = _pad_selects(mats, zp)
+    st_cat = (
+        np.concatenate([np.pad(mats[dz], ((0, zp - zin), (0, 0))).T for dz in rest], axis=1)
+        if rest
+        else None
+    )  # (Zo, len(rest)*Zp)
+
+    yb = 8
+    xb = _plan_xb(xo_dim, yb, k, stride, ci, co, zp, xp.dtype.itemsize)
+    xo_c = _round_up(xo_dim, xb)
+    yo_c = _round_up(yo_dim, yb)
+    # over-computed rows must contribute ZERO to dw: pad g with zeros and pad
+    # xp so reads are in bounds (values x 0 = 0).
+    if (xo_c, yo_c) != (xo_dim, yo_dim):
+        g = jnp.pad(g, ((0, 0), (0, xo_c - xo_dim), (0, 0), (0, yo_c - yo_dim), (0, 0)))
+    ys = _round_up(sy * (yb - 1) + ky, 8)
+    need_x = sx * (xo_c - xb) + sx * (xb - 1) + kx
+    need_y = sy * (yo_c - yb) + ys
+    extra = (max(0, need_x - xdim), max(0, need_y - ydim), zp - zin)
+    if extra != (0, 0, 0):
+        xp = jnp.pad(
+            xp, ((0, 0), (0, extra[0]), (0, 0), (0, extra[1]), (0, extra[2]))
+        )
+
+    dtype = xp.dtype
+    inputs = [xp, g.astype(dtype)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (1, xb, co, yb, zo), lambda bi, i, j: (bi, i, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if rest:
+        inputs.append(jnp.asarray(st_cat, dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _wgrad_kernel,
+        xb=xb, yb=yb, k=k, stride=stride, ci=ci, co=co, zin=zp, zo=zo,
+        id_tap=id_tap, rest=tuple(rest),
+        unroll=True,
+    )
+    xb_in = sx * (xb - 1) + kx
+    dw3 = pl.pallas_call(
+        kernel,
+        grid=(b, xo_c // xb, yo_c // yb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (kz, co, kx * ky * ci), lambda bi, i, j: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((kz, co, kx * ky * ci), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((xb_in, ci, ys, zp), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3,
+        ),
+        interpret=_interpret(),
+    )(*inputs)
+    # (kz, Co, kx*ky*Ci) -> (kx, ky, kz, Ci, Co)
+    return jnp.transpose(dw3.reshape(kz, co, kx, ky, ci), (2, 3, 0, 4, 1))
+
+
+# ---------------------------------------------------------------------------
+# dgrad (parity-decomposed transposed conv)
+# ---------------------------------------------------------------------------
+
+
+def _conv_dgrad(
+    g: jnp.ndarray,
+    w: jnp.ndarray,
+    xp_shape: Tuple[int, ...],
+    stride: Tuple[int, int, int],
+    z_pad: Tuple[int, int],
+    z_mode: str,
+) -> jnp.ndarray:
+    """dL/d(xp) — gradient w.r.t. the x/y-prepadded input."""
+    kx, ky, kz, ci, co = w.shape
+    sx, sy, sz = stride
+    b, xp_dim, _, yp_dim, zin = xp_shape
+    _, xo_dim, _, yo_dim, zo = g.shape
+
+    # transposed z selects (vjp of the constant select matmul); _conv_fwd
+    # lane-pads their rows alongside the cotangent input
+    mats_t = [m.T for m in _z_selects(kz, zin, zo, sz, z_pad[0], z_mode)]  # (Zo, Zin)
+
+    pieces_x = []
+    for px in range(sx):
+        kpx = len(range(px, kx, sx))
+        npx = -(-(xp_dim - px) // sx)  # #{n < xp_dim : n % sx == px}
+        pieces_y = []
+        for py in range(sy):
+            kpy = len(range(py, ky, sy))
+            npy = -(-(yp_dim - py) // sy)
+            if kpx == 0 or kpy == 0:
+                pieces_y.append(jnp.zeros((b, npx, ci, npy, zin), g.dtype))
+                continue
+            # flipped parity sub-kernel, ci/co swapped; z taps stay in order
+            wsub = w[px::sx, py::sy][::-1, ::-1]  # (kpx, kpy, kz, Ci, Co)
+            wsub = jnp.transpose(wsub, (0, 1, 2, 4, 3))  # swap ci/co
+            # pad g so a VALID stride-1 conv emits exactly (npx, npy) rows
+            gx_lo, gx_hi = kpx - 1, npx - xo_dim
+            gy_lo, gy_hi = kpy - 1, npy - yo_dim
+            gp = jnp.pad(
+                g, ((0, 0), (gx_lo, max(gx_hi, 0)), (0, 0), (gy_lo, max(gy_hi, 0)), (0, 0))
+            )
+            if gx_hi < 0 or gy_hi < 0:  # pragma: no cover - sizes guarantee >= 0
+                raise AssertionError("negative dgrad pad")
+            piece = _conv_fwd(
+                gp, wsub, None, (1, 1, 1), z_pad, z_mode,
+                selects=mats_t, out_dims=(npx, npy),
+            )
+            pieces_y.append(piece)
+        if sy == 1:
+            pieces_x.append(pieces_y[0])
+        else:
+            ny = max(p.shape[3] for p in pieces_y)
+            pieces_y = [
+                jnp.pad(p, ((0, 0),) * 3 + ((0, ny - p.shape[3]), (0, 0)))
+                for p in pieces_y
+            ]
+            inter = jnp.stack(pieces_y, axis=4)  # (B, npx, Ci, ny, sy, Zin)
+            inter = inter.reshape(b, pieces_y[0].shape[1], ci, ny * sy, zin)
+            pieces_x.append(inter[:, :, :, :yp_dim])
+    if sx == 1:
+        dxp = pieces_x[0]
+    else:
+        nx = max(p.shape[1] for p in pieces_x)
+        pieces_x = [
+            jnp.pad(p, ((0, 0), (0, nx - p.shape[1])) + ((0, 0),) * 3) for p in pieces_x
+        ]
+        inter = jnp.stack(pieces_x, axis=2)  # (B, nx, sx, Ci, Yp, Zin)
+        dxp = inter.reshape(b, nx * sx, ci, yp_dim, zin)[:, :xp_dim]
+    return dxp
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core + public API
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(stride: Tuple[int, int, int], z_pad: Tuple[int, int], z_mode: str):
+    @jax.custom_vjp
+    def core(xp, w, bias):
+        return _conv_fwd(xp, w, bias, stride, z_pad, z_mode)
+
+    def fwd(xp, w, bias):
+        return core(xp, w, bias), (xp, w, bias is not None)
+
+    def bwd(res, g):
+        xp, w, has_bias = res
+        dxp = _conv_dgrad(g, w, xp.shape, stride, z_pad, z_mode).astype(xp.dtype)
+        dw = _conv_wgrad(xp, g, w.shape[:3], stride, z_pad, z_mode).astype(w.dtype)
+        db = jnp.sum(g, axis=(0, 1, 3, 4), dtype=jnp.float32) if has_bias else None
+        return dxp, dw, db
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def conv3d_cxyz(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: Union[int, Tuple[int, int, int]] = 1,
+    padding: Union[str, Pad3] = "same",
+    pad_mode: str = "zeros",
+) -> jnp.ndarray:
+    """3-D conv in the (B, X, Ci, Y, Z) layout -> (B, Xo, Co, Yo, Zo).
+
+    w: (kx, ky, kz, Ci, Co) (flax nn.Conv layout); ``pad_mode`` 'zeros' or
+    'reflect' (reference reflect-pad+VALID folds into pad_mode='reflect' with
+    the same pad widths). Differentiable via custom_vjp Pallas kernels.
+    """
+    k = tuple(w.shape[:3])
+    stride = _norm_stride(stride)
+    pads = _norm_padding(padding, k, stride)
+    (lox, hix), (loy, hiy), z_pad = pads
+    if lox or hix or loy or hiy:
+        if pad_mode == "reflect":
+            xp = jnp.pad(
+                x, ((0, 0), (lox, hix), (0, 0), (loy, hiy), (0, 0)), mode="reflect"
+            )
+        else:
+            xp = jnp.pad(x, ((0, 0), (lox, hix), (0, 0), (loy, hiy), (0, 0)))
+    else:
+        xp = x
+    z_mode = pad_mode if pad_mode == "reflect" else "zeros"
+    if bias is None:
+        return _make_core_nobias(stride, z_pad, z_mode)(xp, w)
+    return _make_core(stride, z_pad, z_mode)(xp, w, bias)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core_nobias(stride: Tuple[int, int, int], z_pad: Tuple[int, int], z_mode: str):
+    @jax.custom_vjp
+    def core(xp, w):
+        return _conv_fwd(xp, w, None, stride, z_pad, z_mode)
+
+    def fwd(xp, w):
+        return core(xp, w), (xp, w)
+
+    def bwd(res, g):
+        xp, w = res
+        dxp = _conv_dgrad(g, w, xp.shape, stride, z_pad, z_mode).astype(xp.dtype)
+        dw = _conv_wgrad(xp, g, w.shape[:3], stride, z_pad, z_mode).astype(w.dtype)
+        return dxp, dw
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def conv3d_cxyz_reference(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: Union[int, Tuple[int, int, int]] = 1,
+    padding: Union[str, Pad3] = "same",
+    pad_mode: str = "zeros",
+) -> jnp.ndarray:
+    """XLA reference with identical semantics: CXYZ in/out via NXYZC transpose."""
+    k = tuple(w.shape[:3])
+    stride = _norm_stride(stride)
+    pads = _norm_padding(padding, k, stride)
     xl = jnp.transpose(x, (0, 1, 3, 4, 2))  # -> (B, X, Y, Z, Ci)
+    if pad_mode == "reflect":
+        xl = jnp.pad(xl, ((0, 0), *[(lo, hi) for lo, hi in pads], (0, 0)), mode="reflect")
+        pads = ((0, 0),) * 3
     dn = lax.conv_dimension_numbers(xl.shape, w.shape, ("NXYZC", "XYZIO", "NXYZC"))
-    y = lax.conv_general_dilated(xl, w.astype(xl.dtype), (1, 1, 1), "SAME",
-                                 dimension_numbers=dn)
+    y = lax.conv_general_dilated(
+        xl, w.astype(xl.dtype), stride, list(pads), dimension_numbers=dn
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
     return jnp.transpose(y, (0, 1, 4, 2, 3))
