@@ -35,6 +35,10 @@ def run_one(batch_per_chip: int) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from vangan_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vangan_tpu.config import VanGanConfig
     from vangan_tpu.models.factory import build_discriminator, build_generator
     from vangan_tpu.parallel import jit_train_step, make_mesh, put_batch, put_replicated

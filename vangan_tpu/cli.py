@@ -114,9 +114,22 @@ def cmd_predict(args) -> None:
     gan = VanGan(cfg, steps_per_epoch=1)
     if args.epoch is not None:
         gan.load_checkpoint(epoch=args.epoch)
-    files = [os.path.join(args.input, f) for f in sorted(os.listdir(args.input))
-             if f.endswith(".npy")]
+    listing = sorted(os.listdir(args.input))
     os.makedirs(args.output, exist_ok=True)
+    tiffs = [f for f in listing if f.lower().endswith((".tif", ".tiff"))]
+    if tiffs:
+        # the reference's "segment new data" recipe (main.py:255-270):
+        # process_new_data -> run_mapping, straight from raw TIFFs
+        from vangan_tpu.data.preprocess import DataPreprocessor
+
+        npy_dir = os.path.join(args.output, "preprocessed_npy")
+        pre = DataPreprocessor(cfg, partition_id="A", domain="imaging")
+        pre.process_new_data(args.input, npy_dir, tiff_size=cfg.RAW_IMG_SIZE,
+                             target_size=cfg.TARG_RAW_IMG_SIZE, resize=args.resize)
+        files = [os.path.join(npy_dir, f) for f in sorted(os.listdir(npy_dir))
+                 if f.endswith(".npy")]
+    else:
+        files = [os.path.join(args.input, f) for f in listing if f.endswith(".npy")]
     run_mapping(gan, files, cfg.INPUT_IMG_SIZE, filetext="VANGAN_", filepath=args.output,
                 segmentation=not args.fake_imaging, stride=tuple(args.stride))
 
@@ -152,13 +165,19 @@ def main(argv=None) -> None:
     pt.add_argument("--predict-after", action="store_true")
     pt.set_defaults(fn=cmd_train)
 
-    pr = sub.add_parser("predict", help="sliding-window inference on .npy volumes")
+    pr = sub.add_parser(
+        "predict", help="sliding-window inference on .npy volumes or raw TIFFs"
+    )
     pr.add_argument("--config", default=None)
-    pr.add_argument("--input", required=True)
+    pr.add_argument("--input", required=True,
+                    help="directory of .npy volumes, or of raw .tiff files "
+                         "(preprocessed on the fly, main.py:255-270)")
     pr.add_argument("--output", required=True)
     pr.add_argument("--epoch", type=int, default=None)
     pr.add_argument("--fake-imaging", action="store_true")
     pr.add_argument("--stride", type=int, nargs=3, default=(25, 25, 25))
+    pr.add_argument("--resize", action="store_true",
+                    help="Lanczos-resize raw TIFFs to TARG_RAW_IMG_SIZE")
     pr.add_argument("--output-dir", default=None)
     pr.set_defaults(fn=cmd_predict)
 
@@ -173,6 +192,9 @@ def main(argv=None) -> None:
     ps.set_defaults(fn=cmd_sweep)
 
     args = p.parse_args(argv)
+    from vangan_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args.fn(args)
 
 

@@ -16,6 +16,27 @@ import numpy as np
 from vangan_tpu.ops.norms import min_max_norm_np
 
 
+def enable_compilation_cache(path: str = "~/.cache/vangan_tpu_xla") -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    On this project's remote-compile TPU platform a single Pallas conv kernel
+    costs ~90 s to compile and ~3 s from cache (measured); the full train step
+    contains dozens. Called by the CLI, bench.py and the driver entries.
+    Opt out with JAX_DISABLE_COMPILATION_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("JAX_DISABLE_COMPILATION_CACHE"):
+        return
+    cache_dir = os.path.expanduser(os.environ.get("JAX_COMPILATION_CACHE_DIR", path))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
+
+
 def check_nan(arr: np.ndarray) -> bool:
     """True if any NaN present (utils.py:136-146)."""
     return bool(np.any(np.isnan(arr)))
