@@ -11,6 +11,7 @@ from test_train_step import make_batch, tiny_cfg, tiny_models
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_roundtrip(self, tmp_path, rng):
         cfg = tiny_cfg(output_dir=str(tmp_path))
         models = tiny_models(deterministic=False)

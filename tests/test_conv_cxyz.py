@@ -96,6 +96,7 @@ def test_conv_anisotropic_kernel(rng):
     _check(rng, (3, 1, 3), (1, 1, 1), "same", "reflect")
 
 
+@pytest.mark.slow
 def test_conv7x7_resnet_stem(rng):
     """7^3 ResNet-generator stem (generator.py:34-40)."""
     _check(rng, (7, 7, 7), (1, 1, 1), ((3, 3),) * 3, "reflect", shape=(1, 8, 10, 9))

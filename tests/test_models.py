@@ -149,6 +149,7 @@ class TestDiscriminator:
 
 
 class TestFactory:
+    @pytest.mark.slow
     def test_build_all_generators(self):
         cfg = VanGanConfig(compute_dtype="float32")
         x = jnp.zeros((1, 16, 16, 16, 1))
@@ -215,3 +216,21 @@ class TestLayoutParity:
                     rngs={"dropout": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)})
         assert y.shape == x.shape
         assert np.isfinite(np.asarray(y)).all()
+
+    @pytest.mark.parametrize("mk", [
+        lambda lt: VNet3D(use_batch_norm=False, upsample_mode="simple", filters=4,
+                          num_layers=2, output_activation="tanh", layout=lt),
+        lambda lt: VNet3D(use_batch_norm=True, upsample_mode="deconv", filters=4,
+                          num_layers=2, output_activation="tanh", layout=lt),
+        lambda lt: ResNetGenerator3D(filters=4, num_downsampling_blocks=2,
+                                     num_residual_blocks=2, num_upsample_blocks=2, layout=lt),
+    ])
+    def test_vnet_resnet_layouts_match(self, rng, mk):
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+        m1, m2 = mk("NXYZC"), mk("NXCYZ")
+        v1 = m1.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        v2 = m2.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+        y1 = m1.apply(v1, x, train=False)
+        y2 = m2.apply(v2, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4)

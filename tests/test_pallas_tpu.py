@@ -47,16 +47,44 @@ class TestPallasSkeleton:
 
 @requires_tpu
 class TestConvCXYZ:
-    """Experimental CXYZ-layout conv kernel (round-2 layout engine prototype)."""
+    """CXYZ-layout conv family on hardware: Mosaic-lowered value + gradient
+    parity vs the XLA reference at model-representative configs (the CPU
+    interpret-mode parity matrix is tests/test_conv_cxyz.py)."""
 
-    def test_parity_vs_xla(self, rng):
-        import jax.numpy as jnp
+    CONFIGS = [
+        # (k, ci, co, stride, padding, pad_mode, shape(B,X,Ci,Y,Z))
+        ((3, 3, 3), 16, 16, (1, 1, 1), ((1, 1),) * 3, "reflect", (1, 32, 16, 32, 128)),
+        ((3, 3, 3), 16, 32, (2, 2, 2), ((1, 1),) * 3, "reflect", (1, 32, 16, 32, 64)),
+        ((4, 4, 4), 1, 8, (2, 2, 2), ((1, 1),) * 3, "reflect", (1, 32, 1, 32, 64)),
+        ((1, 1, 1), 48, 16, (1, 1, 1), "same", "zeros", (1, 16, 48, 16, 64)),
+        ((4, 4, 4), 8, 8, (1, 1, 1), "same", "zeros", (1, 16, 8, 16, 32)),
+    ]
 
+    @pytest.mark.parametrize("cfg_i", range(len(CONFIGS)))
+    def test_value_and_grad_parity(self, rng, cfg_i):
         from vangan_tpu.ops.pallas.conv3d import conv3d_cxyz, conv3d_cxyz_reference
 
-        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 128)).astype(np.float32))
-        w = jnp.asarray((rng.normal(size=(3, 3, 3, 16, 16)) * 0.1).astype(np.float32))
-        a = jax.jit(lambda v, k: conv3d_cxyz(v, k, xb=8, yb=8))(x, w)
-        b = jax.jit(conv3d_cxyz_reference)(x, w)
-        rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
-        assert rel < 5e-3  # MXU default-precision reassociation
+        k, ci, co, stride, padding, pad_mode, shape = self.CONFIGS[cfg_i]
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(*k, ci, co)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(co,)), jnp.float32)
+
+        y = jax.jit(lambda x, w, b: conv3d_cxyz(x, w, b, stride, padding, pad_mode))(x, w, b)
+        yr = jax.jit(lambda x, w, b: conv3d_cxyz_reference(x, w, b, stride, padding, pad_mode))(
+            x, w, b)
+        assert y.shape == yr.shape
+        scale = float(jnp.max(jnp.abs(yr))) + 1e-6
+        # MXU multiplies in bf16 passes: ~2^-8 relative
+        assert float(jnp.max(jnp.abs(y - yr))) / scale < 6e-3
+
+        ct = jnp.asarray(rng.normal(size=y.shape), jnp.float32)
+        gp = jax.jit(jax.grad(
+            lambda x, w, b: jnp.sum(conv3d_cxyz(x, w, b, stride, padding, pad_mode) * ct),
+            argnums=(0, 1, 2)))(x, w, b)
+        gr = jax.jit(jax.grad(
+            lambda x, w, b: jnp.sum(
+                conv3d_cxyz_reference(x, w, b, stride, padding, pad_mode) * ct),
+            argnums=(0, 1, 2)))(x, w, b)
+        for name, a_, b_ in zip(("dx", "dw", "db"), gp, gr):
+            s = float(jnp.max(jnp.abs(b_))) + 1e-6
+            assert float(jnp.max(jnp.abs(a_ - b_))) / s < 6e-3, name

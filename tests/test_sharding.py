@@ -31,6 +31,7 @@ def eight_devices():
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_train_step_on_mesh(self, rng, eight_devices):
         cfg = tiny_cfg(N_DEVICES=8, BATCH_SIZE=1)
         assert cfg.GLOBAL_BATCH_SIZE == 8
@@ -49,6 +50,7 @@ class TestDataParallel:
             assert np.isfinite(float(v)), k
         assert int(new_state.step) == 1
 
+    @pytest.mark.slow
     def test_dp_matches_single_device(self, rng, eight_devices):
         """Same program (fixed loss contract), same batch, same rng: the 8-way
         sharded execution == single-device execution.

@@ -162,3 +162,51 @@ class TestGaussianBlend:
         # symmetric and centre-peaked
         np.testing.assert_allclose(w, w[::-1], rtol=1e-6)
         assert w[4, 4, 4, 0] >= w[0, 0, 0, 0]
+
+
+class TestDeviceStitcher:
+    """On-device scan accumulation vs the host numpy loop (exactness oracle)."""
+
+    @staticmethod
+    def _toy_gen():
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * variables["scale"])
+
+        variables = {"scale": 0.7}
+
+        def host_gen(x):
+            return np.tanh(np.asarray(x, np.float32) * 0.7)
+
+        return host_gen, (apply_fn, variables)
+
+    @pytest.mark.quick
+    @pytest.mark.parametrize("blend", ["uniform", "gaussian"])
+    def test_device_matches_host(self, rng, blend):
+        host_gen, device_apply = self._toy_gen()
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
+                  padFactor=0.25, save=False, batch_size=4, blend=blend)
+        ref = stitch_subvolumes(host_gen, img, **kw)
+        dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
+        np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+    def test_device_matches_host_process_img(self, rng):
+        host_gen, device_apply = self._toy_gen()
+        img = (rng.normal(size=(16, 16, 16, 1)) * 30 + 100).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(8, 8, 8), complete=True,
+                  padFactor=0.1, save=False, batch_size=3, process_img=True)
+        ref = stitch_subvolumes(host_gen, img, **kw)
+        dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
+        np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+    def test_device_partial_final_batch_masked(self, rng):
+        """Padded (invalid) origins in the final scan chunk contribute zero."""
+        host_gen, device_apply = self._toy_gen()
+        img = rng.normal(size=(12, 12, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=False,
+                  save=False, batch_size=7)  # 27 origins -> 6 padded slots
+        ref = stitch_subvolumes(host_gen, img, **kw)
+        dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
+        np.testing.assert_allclose(dev, ref, atol=2e-3)

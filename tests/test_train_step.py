@@ -67,6 +67,7 @@ def make_batch(rng, cfg):
 
 
 class TestGradientExactness:
+    @pytest.mark.slow
     def test_matches_four_independent_backwards(self, rng):
         cfg = tiny_cfg()
         models = tiny_models(deterministic=True)
@@ -123,6 +124,7 @@ class TestGradientExactness:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_smoke_and_params_change(self, rng):
         cfg = tiny_cfg()
         models = tiny_models(deterministic=False)
@@ -148,6 +150,7 @@ class TestTrainStep:
             "reconstruction_loss_I",
         }
 
+    @pytest.mark.slow
     def test_multiple_steps_reduce_disc_loss(self, rng):
         """With frozen generators' input distribution, D should learn: D loss
         after a few steps < first step."""
@@ -176,6 +179,7 @@ class TestTrainStep:
         result = jax.jit(fns.test_step)(state, real_I, real_S, jax.random.PRNGKey(1))
         assert all(np.isfinite(float(v)) for v in result.values())
 
+    @pytest.mark.slow
     def test_deterministic_given_same_rng(self, rng):
         cfg = tiny_cfg()
         models = tiny_models(deterministic=False)
@@ -190,6 +194,7 @@ class TestTrainStep:
 
 
 class TestWassersteinPath:
+    @pytest.mark.slow
     def test_ncritic_gating(self, rng):
         cfg = tiny_cfg(wasserstein=True)
         models = tiny_models(deterministic=False, wasserstein=True)
@@ -214,6 +219,7 @@ class TestWassersteinPath:
         # wasserstein output heads give finite losses; GP disabled at step 0
         assert np.isfinite(float(result["D_I_loss"]))
 
+    @pytest.mark.slow
     def test_gp_active_after_first_step(self, rng):
         cfg = tiny_cfg(wasserstein=True)
         models = tiny_models(deterministic=False, wasserstein=True)
@@ -228,6 +234,7 @@ class TestWassersteinPath:
 
 
 class TestBackwardModes:
+    @pytest.mark.slow
     def test_sequential_equals_combined(self, rng):
         """The barrier-chained grouped backwards must produce the same
         gradients, losses, and updated parameters as the combined mode

@@ -41,6 +41,7 @@ def setup(tmp_path):
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_fit_checkpoint_predict(self, setup):
         cfg, dataset, tmp_path = setup
         summary = TBSummary(str(tmp_path / "tb"))

@@ -111,6 +111,9 @@ class VanGanConfig:
     debug_nans: bool = False  # jax_debug_nans (vangan.py:290-292 equivalent)
     plot_dataset_samples: bool = True  # startup sanity panels (dataset.py:113)
     stitcher_batch: int = 8  # patches per device batch in sliding-window inference
+    # on-device stitcher accumulation (upload volume once, jitted
+    # gather/apply/scatter-add scan, one download) vs host numpy loop
+    stitcher_device: bool = True
     donate_state: bool = True
 
     def __post_init__(self) -> None:

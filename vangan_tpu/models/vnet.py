@@ -19,15 +19,27 @@ import jax.numpy as jnp
 
 from vangan_tpu.models.layers import (
     AttentionConcat,
+    ConvND,
     Dtype,
     InstanceNorm,
-    conv_nd,
-    he_normal,
+    channel_axis,
     make_dropout,
+    spatial_axes,
+    to_nxcyz,
+    to_nxyzc,
     upsample_nearest,
 )
 from vangan_tpu.ops.norms import min_max_norm, rescale_arr
-from vangan_tpu.ops.pad import reflect_pad
+
+
+def max_pool_2x(x: jnp.ndarray, layout: str = "NXYZC") -> jnp.ndarray:
+    """MaxPooling3D(2) in either layout (vnet_model.py:223)."""
+    window = [1] * x.ndim
+    for a in spatial_axes(layout, x.ndim):
+        window[a] = 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, tuple(window), tuple(window), "VALID"
+    )
 
 
 class VNetConvBlock(nn.Module):
@@ -38,26 +50,28 @@ class VNetConvBlock(nn.Module):
     use_batch_norm: bool = True
     dropout: float = 0.3
     dropout_type: str = "spatial"
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i in range(2):
-            x = reflect_pad(x, 1)
-            x = conv_nd(
-                self.filters, 3, 1, "VALID", use_bias=not self.use_batch_norm,
-                dtype=self.dtype, name=f"conv{i}",
+            x = ConvND(
+                self.filters, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect",
+                use_bias=not self.use_batch_norm, layout=self.layout, dtype=self.dtype,
+                name=f"conv{i}",
             )(x)
             x = nn.relu(x)  # activation precedes the norm (vnet_model.py:119-130)
             if self.use_batch_norm:
                 x = nn.BatchNorm(
-                    use_running_average=not train, dtype=self.dtype, param_dtype=jnp.float32,
-                    name=f"bn{i}",
+                    use_running_average=not train, axis=channel_axis(self.layout),
+                    dtype=self.dtype, param_dtype=jnp.float32, name=f"bn{i}",
                 )(x)
             else:
-                x = InstanceNorm(dtype=self.dtype, name=f"in{i}")(x)
+                x = InstanceNorm(layout=self.layout, dtype=self.dtype, name=f"in{i}")(x)
             if i == 0 and self.dropout > 0.0:
-                do = make_dropout(self.dropout_type, self.dropout, n_spatial=x.ndim - 2)
+                do = make_dropout(self.dropout_type, self.dropout, n_spatial=x.ndim - 2,
+                                  layout=self.layout)
                 x = do(x, deterministic=not train)
         return x
 
@@ -77,6 +91,7 @@ class VNet3D(nn.Module):
     num_layers: int = 4
     output_activation: Optional[str] = "sigmoid"
     addnoise: bool = False
+    layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -93,22 +108,26 @@ class VNet3D(nn.Module):
             x = jnp.clip(x, 0.0, 1.0)
             x = rescale_arr(x, -0.5, 0.5)
 
+        lt = self.layout
+        if lt == "NXCYZ":
+            x = to_nxcyz(x)  # metadata-only for C == 1
+
         filters = self.filters
         dropout = self.dropout
         down_layers = []
         for layer in range(self.num_layers):
             x = VNetConvBlock(
-                filters, self.use_batch_norm, dropout, self.dropout_type, dtype=self.dtype,
-                name=f"down{layer}",
+                filters, self.use_batch_norm, dropout, self.dropout_type, layout=lt,
+                dtype=self.dtype, name=f"down{layer}",
             )(x, train=train)
             down_layers.append(x)
-            x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+            x = max_pool_2x(x, lt)
             dropout += self.dropout_change_per_layer
             filters *= 2
 
         x = VNetConvBlock(
-            filters, self.use_batch_norm, dropout, self.dropout_type, dtype=self.dtype,
-            name="bottleneck",
+            filters, self.use_batch_norm, dropout, self.dropout_type, layout=lt,
+            dtype=self.dtype, name="bottleneck",
         )(x, train=train)
 
         if not self.use_dropout_on_upsampling:
@@ -121,23 +140,29 @@ class VNet3D(nn.Module):
             filters //= 2
             dropout -= dropout_change
             if self.upsample_mode == "deconv":
-                x = nn.ConvTranspose(
+                xl = to_nxyzc(x) if lt == "NXCYZ" else x
+                xl = nn.ConvTranspose(
                     features=filters, kernel_size=(2, 2, 2), strides=(2, 2, 2), padding="SAME",
                     dtype=self.dtype, param_dtype=jnp.float32, name=f"deconv{i}",
-                )(x)
+                )(xl)
+                x = to_nxcyz(xl) if lt == "NXCYZ" else xl
             else:
-                x = upsample_nearest(x, 2)
-                x = conv_nd(filters, 3, 1, "SAME", dtype=self.dtype, name=f"upconv{i}")(x)
+                x = upsample_nearest(x, 2, layout=lt)
+                x = ConvND(filters, 3, 1, padding="same", layout=lt, dtype=self.dtype,
+                           name=f"upconv{i}")(x)
             if self.use_attention_gate:
-                x = AttentionConcat(dtype=self.dtype, name=f"attn{i}")(x, conv)
+                x = AttentionConcat(layout=lt, dtype=self.dtype, name=f"attn{i}")(x, conv)
             else:
-                x = jnp.concatenate([x, conv], axis=-1)
+                x = jnp.concatenate([x, conv], axis=channel_axis(lt))
             x = VNetConvBlock(
-                filters, self.use_batch_norm, dropout, self.dropout_type, dtype=self.dtype,
-                name=f"up{i}",
+                filters, self.use_batch_norm, dropout, self.dropout_type, layout=lt,
+                dtype=self.dtype, name=f"up{i}",
             )(x, train=train)
 
-        x = conv_nd(self.num_classes, 1, 1, "SAME", dtype=self.dtype, name="head")(x)
+        x = ConvND(self.num_classes, 1, 1, padding="same", layout=lt, dtype=self.dtype,
+                   name="head")(x)
+        if lt == "NXCYZ":
+            x = to_nxyzc(x)
         x = x.astype(jnp.float32)
         if self.output_activation == "tanh":
             x = jnp.tanh(x)

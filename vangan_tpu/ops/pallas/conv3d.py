@@ -498,9 +498,15 @@ def _wgrad_kernel(
                 r = n - (1 if id_tap is not None else 0)
                 gd = gd_cat[:, r * zin : (r + 1) * zin]
             gd = gd.reshape(co, yb * zin).astype(p.dtype)
-            # (Co, yb*Zin) x (kx*ky*Ci, yb*Zin)^T  ->  (Co, kx*ky*Ci)
+            # (Co, yb*Zin) x (kx*ky*Ci, yb*Zin)^T  ->  (Co, kx*ky*Ci).
+            # Degenerate dots (either free dim < 8) hit a Mosaic bf16
+            # mixed-precision lowering bug ('vector.broadcast' dtype mismatch
+            # in the vector-like path) — compute those in f32.
+            pp = p
+            if min(co, p.shape[0]) < 8 and p.dtype != jnp.float32:
+                gd, pp = gd.astype(jnp.float32), p.astype(jnp.float32)
             contrib = lax.dot_general(
-                gd, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                gd, pp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
             dw_ref[dz] += contrib
         return 0

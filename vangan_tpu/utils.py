@@ -7,7 +7,7 @@ carries the remaining host/NumPy utilities of the reference's utils.py.
 from __future__ import annotations
 
 import pickle
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,18 +16,22 @@ import numpy as np
 from vangan_tpu.ops.norms import min_max_norm_np
 
 
-def enable_compilation_cache(path: str = "~/.cache/vangan_tpu_xla") -> None:
+def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent).
 
     On this project's remote-compile TPU platform a single Pallas conv kernel
     costs ~90 s to compile and ~3 s from cache (measured); the full train step
     contains dozens. Called by the CLI, bench.py and the driver entries.
-    Opt out with JAX_DISABLE_COMPILATION_CACHE=1.
+    Opt out with JAX_DISABLE_COMPILATION_CACHE=1. Default cache location is
+    ``<repo>/.cache/xla`` (gitignored).
     """
     import os
 
     if os.environ.get("JAX_DISABLE_COMPILATION_CACHE"):
         return
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            ".cache", "xla")
     cache_dir = os.path.expanduser(os.environ.get("JAX_COMPILATION_CACHE_DIR", path))
     os.makedirs(cache_dir, exist_ok=True)
     try:

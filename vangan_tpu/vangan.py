@@ -118,6 +118,21 @@ class VanGan:
             self._gen_batched["gen_SI"] = self._make_gen_batched("gen_SI")
         return self._gen_batched["gen_SI"]
 
+    def gen_apply(self, name: str) -> Tuple[Callable, dict]:
+        """(apply_fn, variables) for the on-device stitcher: ``apply_fn`` is a
+        stable jittable closure (cached per network so the stitcher's jit
+        cache keys stay valid); ``variables`` reflect the CURRENT state."""
+        key = f"_apply_{name}"
+        if key not in self._gen_batched:
+            model = self.models[name]
+
+            def apply_fn(variables, x, _model=model):
+                return _model.apply(variables, x, train=False)
+
+            self._gen_batched[key] = apply_fn
+        variables = {"params": self.state.params[name], **self.state.model_state[name]}
+        return self._gen_batched[key], variables
+
     # --- train/test steps (vangan.py:380-507) ---
 
     def _next_rng(self) -> jax.Array:
