@@ -50,6 +50,16 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--patch", type=int, default=32)
     ap.add_argument("--volumes", type=int, default=8)
+    ap.add_argument("--vol-shape", type=int, nargs=3, default=(96, 96, 64),
+                    help="synthetic volume size (x y z)")
+    ap.add_argument("--tubes", type=int, default=12)
+    ap.add_argument("--filters", type=int, default=8)
+    ap.add_argument("--disc-filters", type=int, default=16)
+    ap.add_argument("--steps-per-epoch", type=int, default=None,
+                    help="override steps/epoch (default: #volumes/batch)")
+    ap.add_argument("--cldice-iters", type=int, default=5)
+    ap.add_argument("--results-md", default=None,
+                    help="append Dice/clDice results to this markdown file")
     ap.add_argument("--out", default="/tmp/vg_synthetic")
     args = ap.parse_args()
 
@@ -72,9 +82,9 @@ def main() -> None:
     for d in ("imgA", "segB"):
         os.makedirs(os.path.join(data_dir, d), exist_ok=True)
     for i in range(args.volumes):
-        img, seg = make_tube_volume(rng)
+        img, seg = make_tube_volume(rng, shape=tuple(args.vol_shape), n_tubes=args.tubes)
         # unpaired: imaging volumes and segmentation volumes from separate draws
-        img2, seg2 = make_tube_volume(rng)
+        img2, seg2 = make_tube_volume(rng, shape=tuple(args.vol_shape), n_tubes=args.tubes)
         ip = os.path.join(data_dir, "imgA", f"v{i}.npy")
         sp = os.path.join(data_dir, "segB", f"v{i}.npy")
         np.save(ip, img[..., None])
@@ -102,13 +112,17 @@ def main() -> None:
         BATCH_SIZE=1,
         EPOCHS=args.epochs,
         SUBVOL_PATCH_SIZE=(args.patch,) * 3,
-        gen_filters=8,
-        disc_filters=16,
-        cldice_iters=5,
+        gen_filters=args.filters,
+        disc_filters=args.disc_filters,
+        cldice_iters=args.cldice_iters,
         PERIOD_2D_CALLBACK=2,
+        train_steps=args.steps_per_epoch,
     )
     save_args(cfg, os.path.join(args.out, "Args_Settings.txt"))
 
+    from vangan_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     dataset = VanGanDataset(cfg, imaging_partition, seg_partition, seed=0)
     dataset.plot_sample_dataset(os.path.join(args.out, "GANMonitor"))
     summary = TBSummary(os.path.join(args.out, "TB_Logs"))
@@ -133,12 +147,26 @@ def main() -> None:
     )
     from vangan_tpu.data.preprocess import read_tiff
 
+    all_scores = []
     for ip in imaging_partition["testing"]:
         name = os.path.splitext(os.path.basename(ip))[0]
         pred = read_tiff(os.path.join(pred_dir, f"VANGAN_{name}.tiff"))
         pred = np.transpose(pred, (1, 2, 0, 3))[..., 0]  # (z,x,y,c) -> (x,y,z)
-        scores = evaluate_segmentation(pred, truths[ip], iters=5)
+        scores = evaluate_segmentation(pred, truths[ip], iters=args.cldice_iters)
+        all_scores.append((name, scores))
         print(f"{name}: dice={scores['dice']:.3f} cldice={scores['cldice']:.3f}")
+    if args.results_md and all_scores:
+        import datetime
+
+        mean_d = float(np.mean([s["dice"] for _, s in all_scores]))
+        mean_c = float(np.mean([s["cldice"] for _, s in all_scores]))
+        with open(args.results_md, "a") as f:
+            f.write(
+                f"| {datetime.date.today()} | vol={tuple(args.vol_shape)} x{args.volumes} "
+                f"| patch={args.patch} f={args.filters} | epochs={args.epochs} "
+                f"steps/ep={args.steps_per_epoch or 'auto'} "
+                f"| {mean_d:.3f} | {mean_c:.3f} |\n"
+            )
 
 
 if __name__ == "__main__":

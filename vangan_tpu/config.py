@@ -102,11 +102,12 @@ class VanGanConfig:
     # unsupported shapes; ~170x faster fwd / ~60x fwd+bwd on v5e at 128^3)
     use_pallas_skeleton: bool = True
     remat: bool = True  # rematerialise each network application in the backward
-    # 'combined': one backward for all four gradients (fastest, highest peak
-    # HBM); 'two_phase': generators then discriminators, barrier-chained;
-    # 'sequential': four barrier-chained backwards (lowest peak HBM — the only
-    # mode that fits 128^3 on a 16 GB v5e today, see docs/PERF.md)
-    backward_mode: str = "sequential"
+    # 'combined': one backward for all four gradients (lowest FLOPs, but its
+    # single huge module OOMs the remote compile helper at 128^3 today);
+    # 'two_phase': generators then discriminators, barrier-chained — the
+    # round-2 default (fits in HBM with the NXCYZ layout and compiles);
+    # 'sequential': four barrier-chained backwards (lowest peak HBM)
+    backward_mode: str = "two_phase"
     profile_dir: Optional[str] = None  # jax.profiler trace output (None = off)
     debug_nans: bool = False  # jax_debug_nans (vangan.py:290-292 equivalent)
     plot_dataset_samples: bool = True  # startup sanity panels (dataset.py:113)
