@@ -278,7 +278,12 @@ def _fwd_kernel_b(
         acc = None
         for dx in range(kx):
             row2 = x_vmem[sx * xo + dx]  # (Ci, ys*Zp)
-            bmat[:] = jnp.dot(w_ref[dx], row2, preferred_element_type=jnp.float32)
+            wdx = w_ref[dx]
+            if ci < 8 and row2.dtype != jnp.float32:
+                # degenerate-K dots take Mosaic's vector-like path, which has
+                # a bf16 mixed-precision lowering bug (see wgrad note)
+                row2, wdx = row2.astype(jnp.float32), wdx.astype(jnp.float32)
+            bmat[:] = jnp.dot(wdx, row2, preferred_element_type=jnp.float32)
             for dy in range(ky):
                 win = bmat[dy * kzco : (dy + 1) * kzco, dy * zin : (dy + yb) * zin]
                 acc = win if acc is None else acc + win
@@ -420,8 +425,16 @@ def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False):
     """(xb, yb): bigger y blocks amortise per-block DMA latency (measured 21%
     at yb=16 on the 16ch 128^3 conv; no further gain at 32) unless they starve
     the x block below 4."""
+    import os
+
+    # default 8: yb=16 kernels are ~20% faster standalone but their larger
+    # Mosaic compile footprint OOMs the remote compile helper when the full
+    # train-step module (~40 kernels) compiles in one process
+    yb_max = int(os.environ.get("VANGAN_CONV_YB_MAX", "8"))
     sy = stride[1]
     for yb in (16, 8):
+        if yb > yb_max:
+            continue
         if (sy * yb) % 8 or yo_dim % yb:
             continue
         xb = _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b)
@@ -486,7 +499,15 @@ def _conv_fwd(
     # narrow outputs (B rows scale with Co); 'tap' otherwise. Measured: dec0
     # 48->16 @128^3 fwd 11.6 -> 8.8 ms with 'b'; 16->16 parity; Co=48 dgrad
     # regresses with 'b'.
-    form_b = sy == 1 and ci >= 32 and co <= 32
+    # (ci/co >= 2: singleton sublane dims break Mosaic's bf16 2-sublane
+    # tiling in the merged-lane DMA/slices)
+    import os as _os
+
+    form_b = (
+        sy == 1 and ci >= 2 and co >= 2
+        and ((ci >= 32 and co <= 32) or (kx == ky == kz == 1))
+        and not _os.environ.get("VANGAN_CONV_NO_FORM_B")
+    )
 
     # Blocks: computed output is rounded up to a block multiple and trimmed.
     xb, yb = _plan_blocks(xo_dim, yo_dim, (kx, ky, kz), stride, ci, co, zp,
