@@ -104,8 +104,12 @@ def _device_stitch_fn(k: Tuple[int, int, int], trims: Tuple[int, int, int],
     px, py, pz = trims
     tx, ty, tz = kx - 2 * px, ky - 2 * py, kz - 2 * pz
 
-    @jax.jit
-    def run(variables, img, origins, valid):
+    # pred/count are threaded through REPEATED calls as donated buffers (the
+    # accumulation stays in HBM, no transfers) — one monolithic scan over ALL
+    # patches can run for minutes and trips the TPU worker's execution
+    # watchdog on large volumes (observed crash at 600^3)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(pred, count, variables, img, origins, valid):
         c = img.shape[-1]
         if gaussian:
             w3 = jnp.asarray(_gaussian_window((kx, ky, kz)))
@@ -143,11 +147,10 @@ def _device_stitch_fn(k: Tuple[int, int, int], trims: Tuple[int, int, int],
             pred, count = lax.fori_loop(0, batch, upd, (pred, count))
             return (pred, count), None
 
-        zeros = jnp.zeros(img.shape, jnp.float32)
-        (pred, count), _ = lax.scan(body, (zeros, jnp.zeros_like(zeros)), (origins, valid))
-        return pred / count  # 0/0 -> NaN only inside the padding margin
+        (pred, count), _ = lax.scan(body, (pred, count), (origins, valid))
+        return pred, count
 
-    return run
+    return run_chunk
 
 
 _APPLY_REGISTRY: dict = {}
@@ -159,26 +162,37 @@ def _register_apply(apply_fn) -> int:
     return key
 
 
-def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gaussian):
-    """Run the device accumulation path; returns the divided prediction (np)."""
+def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gaussian,
+                   steps_per_call: int = 24):
+    """Run the device accumulation path; returns the divided prediction (np).
+
+    The jitted chunk covers ``steps_per_call`` patch batches; the host loops
+    over chunks threading the donated accumulators (bounds single-program
+    runtime under the worker watchdog; one extra identical-shape compile for
+    the final ragged chunk at most — it is zero-padded instead).
+    """
     import jax.numpy as jnp
 
     apply_fn, variables = device_apply
     n = len(origins)
-    n_pad = _round_to(n, batch)
+    per_call = steps_per_call * batch
+    n_pad = _round_to(n, per_call)
     origins_arr = np.zeros((n_pad, 3), np.int32)
     origins_arr[:n] = np.asarray(origins, np.int32)
     valid = np.zeros((n_pad,), np.float32)
     valid[:n] = 1.0
     fn = _device_stitch_fn(tuple(k), tuple(trims), batch, process_img, gaussian,
                            _register_apply(apply_fn))
-    pred = fn(
-        variables,
-        jnp.asarray(img),
-        jnp.asarray(origins_arr.reshape(n_pad // batch, batch, 3)),
-        jnp.asarray(valid.reshape(n_pad // batch, batch)),
-    )
-    return np.asarray(pred, np.float32)
+    img_d = jnp.asarray(img)
+    pred = jnp.zeros(img_d.shape, jnp.float32)
+    count = jnp.zeros(img_d.shape, jnp.float32)
+    for c0 in range(0, n_pad, per_call):
+        o_chunk = origins_arr[c0 : c0 + per_call].reshape(steps_per_call, batch, 3)
+        v_chunk = valid[c0 : c0 + per_call].reshape(steps_per_call, batch)
+        pred, count = fn(pred, count, variables, img_d,
+                         jnp.asarray(o_chunk), jnp.asarray(v_chunk))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.true_divide(np.asarray(pred, np.float32), np.asarray(count, np.float32))
 
 
 def _round_to(v: int, m: int) -> int:
