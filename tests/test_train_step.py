@@ -265,3 +265,37 @@ class TestBackwardModes:
                             jax.tree_util.tree_leaves(s_comb.params)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                            atol=1e-6)
+
+
+class TestSplitStep:
+    @pytest.mark.slow
+    def test_split_matches_monolithic_two_phase(self):
+        """backward_mode='split' (three separate jit modules) produces the
+        SAME state update as the monolithic two_phase step."""
+        from vangan_tpu.parallel import jit_split_step, jit_train_step, make_mesh
+
+        cfg = tiny_cfg(backward_mode="two_phase")
+        models = tiny_models()
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        mesh = make_mesh(1, cfg.mesh_axis)
+        state0 = fns.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        real_I = jnp.asarray(rng.normal(size=(1, *cfg.subvol_patch_shape)), jnp.float32)
+        real_S = jnp.asarray(
+            (rng.uniform(size=(1, *cfg.seg_subvol_patch_shape)) > 0.7) * 2.0 - 1.0, jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        noise = jnp.asarray(0.05, jnp.float32)
+        upd = jnp.asarray(True)
+
+        mono = jit_train_step(fns, mesh, donate=False, axis_name=cfg.mesh_axis)
+        s_mono, r_mono = mono(state0, real_I, real_S, key, noise, upd)
+        split = jit_split_step(fns, mesh, donate=False, axis_name=cfg.mesh_axis)
+        s_split, r_split = split(state0, real_I, real_S, key, noise, upd)
+
+        for k in r_mono:
+            np.testing.assert_allclose(float(r_split[k]), float(r_mono[k]), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s_mono.params),
+                        jax.tree_util.tree_leaves(s_split.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        assert int(s_split.step) == 1

@@ -106,6 +106,9 @@ class VanGanConfig:
     # single huge module OOMs the remote compile helper at 128^3 today);
     # 'two_phase': generators then discriminators, barrier-chained — the
     # round-2 default (fits in HBM with the NXCYZ layout and compiles);
+    # 'split': two_phase math compiled as THREE separate jit modules
+    # (gen-grads / disc-grads / optimizer) — smaller per-module compile,
+    # proven state-identical to two_phase (tests/test_train_step.py);
     # 'sequential': four barrier-chained backwards (lowest peak HBM)
     backward_mode: str = "two_phase"
     profile_dir: Optional[str] = None  # jax.profiler trace output (None = off)

@@ -78,3 +78,34 @@ def jit_test_step(fns, mesh: Mesh, axis_name: str = "data"):
         in_shardings=(repl, bsh, bsh, repl),
         out_shardings=repl,
     )
+
+
+def jit_split_step(fns, mesh: Mesh, donate: bool = True, axis_name: str = "data"):
+    """Split-module train step: the two backward groups and the optimizer
+    update are jitted as three separate XLA modules (backward_mode='split').
+
+    Identical math to the monolithic 'two_phase' step; each module stays
+    small enough for the remote compile helper (docs/ROADMAP.md P0.1). The
+    returned callable has the train_step signature.
+    """
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh, axis_name)
+    gsh = (repl, repl, repl, bsh, bsh, repl, repl)
+    g1 = jax.jit(fns.grad_gens, in_shardings=gsh, out_shardings=(repl, repl, repl))
+    g2 = jax.jit(fns.grad_discs, in_shardings=gsh, out_shardings=repl)
+    app = jax.jit(
+        fns.apply_grads,
+        in_shardings=(repl, repl, repl, repl),
+        out_shardings=repl,
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+    def step(state, real_I, real_S, rng, noise_std, update_gen):
+        gg, result, new_ms = g1(state.params, state.model_state, state.step,
+                                real_I, real_S, rng, noise_std)
+        gd = g2(state.params, state.model_state, state.step,
+                real_I, real_S, rng, noise_std)
+        new_state = app(state, {**gg, **gd}, new_ms, update_gen)
+        return new_state, result
+
+    return step

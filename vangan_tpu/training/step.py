@@ -69,6 +69,14 @@ class TrainStepFns:
     train_step: Callable
     test_step: Callable
     compute_losses: Callable  # exposed for gradient-exactness tests & debugging
+    # split-module step (backward_mode='split'): each backward group and the
+    # optimizer update compile as SEPARATE XLA modules — same math as
+    # 'two_phase', but each module stays under the remote compile helper's
+    # memory ceiling (the monolithic ~40-kernel module gets SIGKILLed at
+    # 128^3, docs/ROADMAP.md)
+    grad_gens: Optional[Callable] = None
+    grad_discs: Optional[Callable] = None
+    apply_grads: Optional[Callable] = None
 
 
 def _apply(model, params, model_state, x, train, rng, remat=False, **kwargs):
@@ -371,6 +379,59 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         )
         return result
 
+    # --- split-module step (same math as the 'two_phase' groups) ---
+
+    def _gp_scale(step):
+        if not cfg.wasserstein:
+            return None
+        return jnp.where(step > 0, cfg.gp_weight, 0.0)
+
+    def _group_grad(group, first):
+        def fn(params, model_state, step, real_I, real_S, rng, noise_std):
+            step_rng = jax.random.fold_in(rng, step)
+
+            def loss_for(sub):
+                full = {**params, **{n: sub[n] for n in group}}
+                return compute_losses(full, model_state, real_I, real_S, step_rng,
+                                      noise_std, True, _gp_scale(step))
+
+            sub = {n: params[n] for n in group}
+            if first:
+                g, (result, new_ms) = jax.grad(loss_for, has_aux=True)(sub)
+                return g, result, new_ms
+            return jax.grad(lambda s: loss_for(s)[0])(sub)
+
+        return fn
+
+    grad_gens = _group_grad(("gen_IS", "gen_SI"), first=True)
+    grad_discs = _group_grad(("disc_I", "disc_S"), first=False)
+
+    def apply_grads(
+        state: VanGanState, grads: Dict[str, Params], new_ms, update_gen: jnp.ndarray
+    ) -> VanGanState:
+        """Optimizer updates + ncritic gating + step increment (the tail of
+        train_step, vangan.py:426-440)."""
+        new_params, new_opt = {}, {}
+        for name in NETWORKS:
+            updates, opt_state = optimizer.update(
+                grads[name], state.opt_state[name], state.params[name]
+            )
+            candidate = optax.apply_updates(state.params[name], updates)
+            if name.startswith("gen"):
+                keep = update_gen
+                candidate = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(keep, new, old), candidate, state.params[name]
+                )
+                opt_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(keep, new, old), opt_state, state.opt_state[name]
+                )
+            new_params[name] = candidate
+            new_opt[name] = opt_state
+        return state.replace(
+            step=state.step + 1, params=new_params, model_state=new_ms, opt_state=new_opt
+        )
+
     return TrainStepFns(
-        init=init, train_step=train_step, test_step=test_step, compute_losses=compute_losses
+        init=init, train_step=train_step, test_step=test_step, compute_losses=compute_losses,
+        grad_gens=grad_gens, grad_discs=grad_discs, apply_grads=apply_grads,
     )

@@ -24,6 +24,7 @@ from vangan_tpu.config import VanGanConfig
 from vangan_tpu.models.factory import build_discriminator, build_generator
 from vangan_tpu.parallel import (
     batch_sharding,
+    jit_split_step,
     jit_test_step,
     jit_train_step,
     make_mesh,
@@ -77,8 +78,12 @@ class VanGan:
         self.fns = make_step_fns(cfg, self.models, self.steps_per_epoch)
 
         self.mesh = mesh if mesh is not None else make_mesh(cfg.N_DEVICES, cfg.mesh_axis)
-        self._train_step = jit_train_step(self.fns, self.mesh, donate=cfg.donate_state,
-                                          axis_name=cfg.mesh_axis)
+        if cfg.backward_mode == "split":
+            self._train_step = jit_split_step(self.fns, self.mesh, donate=cfg.donate_state,
+                                              axis_name=cfg.mesh_axis)
+        else:
+            self._train_step = jit_train_step(self.fns, self.mesh, donate=cfg.donate_state,
+                                              axis_name=cfg.mesh_axis)
         self._test_step = jit_test_step(self.fns, self.mesh, axis_name=cfg.mesh_axis)
 
         rng = init_rng if init_rng is not None else jax.random.PRNGKey(cfg.seed)
