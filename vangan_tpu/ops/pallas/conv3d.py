@@ -191,9 +191,9 @@ def _pack_w_b(w: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def _tap_matrix(x_vmem, xo, *, xb, yb, k, stride, ci, zin):
-    """Stack the kx*ky (dx, dy) tap slices for output row ``xo`` (a traced
-    index — the xo loop is a fori_loop so VMEM temporaries are reused, not
-    stacked per unrolled iteration) into the (kx*ky*Ci, yb*Zp) patch matrix.
+    """Stack the kx*ky (dx, dy) tap slices for output row ``xo`` into the
+    (kx*ky*Ci, yb*Zp) patch matrix ('tap' formulation; the xo loop is
+    unrolled with the block size planned against the VMEM stack, _plan_xb).
 
     y-stride-2 taps parity-split the sublane dim via reshape (direct strided
     loads only lower for 32-bit data on this toolchain; reshape+index works
