@@ -50,6 +50,9 @@ def run_one(batch_per_chip: int) -> None:
         BATCH_SIZE=batch_per_chip,
         SUBVOL_PATCH_SIZE=(128, 128, 128),
         compute_dtype="bfloat16",
+        # batch 3's monolithic module OOMs the remote compile helper; the
+        # split step (three modules, state-identical math) compiles
+        backward_mode="split" if batch_per_chip >= 3 else "two_phase",
         output_dir="/tmp/vg_bench",
     )
     models = {
@@ -68,7 +71,12 @@ def run_one(batch_per_chip: int) -> None:
         jnp.asarray((rng.uniform(size=(gb, 128, 128, 128, 1)) > 0.8) * 2.0 - 1.0, jnp.float32),
         mesh,
     )
-    step = jit_train_step(fns, mesh, donate=True, axis_name=cfg.mesh_axis)
+    if cfg.backward_mode == "split":
+        from vangan_tpu.parallel import jit_split_step
+
+        step = jit_split_step(fns, mesh, donate=True, axis_name=cfg.mesh_axis)
+    else:
+        step = jit_train_step(fns, mesh, donate=True, axis_name=cfg.mesh_axis)
     noise = jnp.asarray(0.1, jnp.float32)
     upd = jnp.asarray(True)
     key = jax.random.PRNGKey(1)
@@ -168,28 +176,27 @@ def main() -> None:
 
     run_selftest()  # on-chip kernel parity gate (failure is logged, not fatal)
 
-    # batch 3 first (wins if future memory work lands), then 1 (today's fit);
-    # batch 2 skipped — it has never been the winner and each failed probe
-    # costs a full ~8 min TPU compile through the tunnel
-    printed = False
-    for batch in (3, 1):
+    # probe both per-chip batch sizes (kernels are per-sample latency-bound
+    # today, so batch 1 currently wins; batch 3 runs via the split step) and
+    # report the best; batch 2 skipped — never the winner
+    results = []
+    for batch in (1, 3):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--batch", str(batch)],
             capture_output=True, text=True, timeout=3600,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
-                print(line)
-                printed = True
+                results.append(json.loads(line))
                 break
-        if printed:
-            break
-        sys.stderr.write(
-            f"[bench] batch {batch} failed (rc={proc.returncode}); "
-            f"stderr tail: {proc.stderr[-500:]}\n"
-        )
-    if not printed:
+        else:
+            sys.stderr.write(
+                f"[bench] batch {batch} failed (rc={proc.returncode}); "
+                f"stderr tail: {proc.stderr[-500:]}\n"
+            )
+    if not results:
         raise SystemExit("bench failed at all batch sizes")
+    print(json.dumps(max(results, key=lambda r: r["value"])))
 
     # secondary metric (BASELINE config 3); failure must not mask the primary
     try:
