@@ -1,15 +1,27 @@
 """Benchmark: CycleGAN 128^3-patch train-step throughput per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
 
 The tracked metric (BASELINE.json) is 128^3 patches/sec/chip for the full
 VAN-GAN train step (dual ResU-Net generators + dual PatchGAN discriminators,
 cycle + clDice + SSIM + LSGAN losses, all four optimizers, bf16 compute,
-fused Pallas clDice kernels, per-network remat).
+fused Pallas clDice kernels, per-network remat). Secondary metric: full-volume
+sliding-window inference Mvoxels/s (BASELINE config 3).
 
-Batch sizes are probed 3 -> 2 -> 1, each in a FRESH subprocess: a TPU compile
-OOM can poison the remote-compile service state for subsequent programs in the
-same process.
+Harness hardening (round-2 VERDICT item 1 — the round-2 number was real but
+the harness recorded a silent failure):
+- pre-flight: refuses to start while another TPU-bound process holds the chip
+  (waits, then kills the recorded PIDs explicitly — never by pattern);
+- each probe runs in a fresh subprocess with FULL stdout/stderr written to
+  bench_logs/ and JAX_TRACEBACK_FILTERING=off;
+- on failure the last Python traceback (ANSI-stripped, not a 500-char log
+  tail) goes to stderr and bench_logs/summary.json, and the probe retries
+  once;
+- a primary-metric failure does not abort the inference metric;
+- the inference warm-up compiles at the REAL volume shape (max_chunks=1 on
+  the actual buffers — the stitcher jit is shape-keyed, so a small warm-up
+  volume warms nothing);
+- `--force-fail` injects an exception to prove the capture path end-to-end.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The
 comparison constant below is an engineering estimate of the TF-2.10 reference
@@ -21,16 +33,129 @@ north-star is vs_baseline >= 10 (BASELINE.json:5,11).
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 REF_PATCHES_PER_SEC_PER_CHIP = 1.0  # estimated TF-GPU reference (see docstring)
+LOG_DIR = os.path.join(REPO, "bench_logs")
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*m")
 
 
-def run_one(batch_per_chip: int) -> None:
+def _strip_ansi(s: str) -> str:
+    return _ANSI.sub("", s)
+
+
+def extract_traceback(stderr: str, max_chars: int = 4000) -> str:
+    """The LAST Python traceback (or error-looking lines) from a stderr blob,
+    ANSI-stripped — round 2 died with only log noise in a 500-char tail."""
+    text = _strip_ansi(stderr)
+    idx = text.rfind("Traceback (most recent call last)")
+    if idx >= 0:
+        return text[idx:][:max_chars]
+    # no traceback header: keep lines that look like errors, else the tail
+    err_lines = [
+        ln for ln in text.splitlines()
+        if re.search(r"\b(Error|Exception|FAILED|Aborted|Killed|RESOURCE_EXHAUSTED)\b", ln)
+    ]
+    if err_lines:
+        return "\n".join(err_lines[-40:])[:max_chars]
+    return text[-max_chars:]
+
+
+def _proc_listing():
+    # ps truncates lines to $COLUMNS even when piped (pytest sets it); force
+    # full-width output so long cmdlines keep their identifying tails
+    env = {**os.environ, "COLUMNS": "100000"}
+    out = subprocess.run(
+        ["ps", "-wweo", "pid,ppid,etimes,args"], capture_output=True, text=True, env=env
+    ).stdout
+    return out.splitlines()[1:]
+
+
+def _ancestors() -> set:
+    pids = set()
+    pid = os.getpid()
+    table = {}
+    for ln in _proc_listing():
+        parts = ln.split(None, 3)
+        if len(parts) >= 2:
+            try:
+                table[int(parts[0])] = int(parts[1])
+            except ValueError:
+                continue
+    while pid and pid in table:
+        pids.add(pid)
+        pid = table[pid]
+    return pids
+
+
+def find_tpu_suspects() -> list:
+    """(pid, age_s, cmd) for OTHER processes that plausibly hold the chip.
+
+    Matches python processes running this repo's code or jax/pytest — NOT the
+    axon tunnel daemon (.tpu_init.py) and never self or ancestors.
+    """
+    own = _ancestors() | {os.getpid()}
+    suspects = []
+    for ln in _proc_listing():
+        parts = ln.split(None, 3)
+        if len(parts) < 4:
+            continue
+        try:
+            pid, _, age = int(parts[0]), int(parts[1]), int(parts[2])
+        except ValueError:
+            continue
+        cmd = parts[3]
+        if pid in own or ".tpu_init" in cmd:
+            continue
+        if "python" not in cmd:
+            continue
+        if re.search(r"vangan|bench\.py|pytest|jax|train_synthetic|__graft_entry__", cmd):
+            suspects.append((pid, age, cmd))
+    return suspects
+
+
+def preflight(wait_s: int = 180) -> None:
+    """Wait for lingering TPU-bound processes; kill recorded PIDs as a last
+    resort (explicit PIDs from the inspection above — never pattern kills).
+
+    Round 2's official bench death is most plausibly chip contention from
+    orphaned builder processes (a documented failure mode); this makes the
+    hazard loud and self-healing instead of a silent rc=1.
+    """
+    deadline = time.time() + wait_s
+    suspects = find_tpu_suspects()
+    while suspects and time.time() < deadline:
+        sys.stderr.write(
+            f"[bench preflight] waiting on {len(suspects)} TPU-suspect process(es): "
+            + "; ".join(f"pid={p} age={a}s cmd={c[:90]}" for p, a, c in suspects[:4])
+            + "\n"
+        )
+        time.sleep(15)
+        suspects = find_tpu_suspects()
+    for pid, age, cmd in suspects:
+        sys.stderr.write(f"[bench preflight] killing lingering pid {pid} ({cmd[:120]})\n")
+        try:
+            os.kill(pid, 15)
+        except OSError:
+            pass
+    if suspects:
+        time.sleep(10)
+        for pid, _, _ in find_tpu_suspects():
+            try:
+                os.kill(pid, 9)
+            except OSError:
+                pass
+        time.sleep(5)
+
+
+def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,6 +168,11 @@ def run_one(batch_per_chip: int) -> None:
     from vangan_tpu.models.factory import build_discriminator, build_generator
     from vangan_tpu.parallel import jit_train_step, make_mesh, put_batch, put_replicated
     from vangan_tpu.training.step import make_step_fns
+
+    if force_fail:
+        raise RuntimeError(
+            "bench --force-fail: injected failure to validate traceback capture"
+        )
 
     n_devices = len(jax.devices())
     cfg = VanGanConfig(
@@ -107,10 +237,8 @@ def run_one(batch_per_chip: int) -> None:
 
 def run_inference() -> None:
     """BASELINE config 3: sliding-window inference on a full ~600^3 volume
-    with Gaussian overlap blending, on-device accumulation. Prints one JSON
-    line with Mvoxels/sec (output voxels per second of wall time)."""
-    import time as _time
-
+    with Gaussian overlap blending, on-device accumulation + division. Prints
+    one JSON line with Mvoxels/sec (output voxels per second of wall time)."""
     import jax
     import numpy as np
 
@@ -136,11 +264,13 @@ def run_inference() -> None:
     kw = dict(subvol_size=(1, 128, 128, 128, 1), stride=(64, 64, 64), complete=True,
               padFactor=0.1, save=False, batch_size=cfg.stitcher_batch, blend="gaussian",
               device_apply=(apply_fn, variables))
-    # warm-up/compile on a small volume with the same patch/batch config
-    stitch_subvolumes(None, vol[:160, :160, :160], **kw)
-    t0 = _time.perf_counter()
+    # shape-correct warm-up: ONE accumulation chunk on the real volume
+    # compiles every shape-keyed program the timed run uses (VERDICT r2 weak
+    # #5 — a 160^3 warm-up volume warmed nothing for the 720^3 buffers)
+    stitch_subvolumes(None, vol, max_chunks=1, **kw)
+    t0 = time.perf_counter()
     out = stitch_subvolumes(None, vol, **kw)
-    dt = _time.perf_counter() - t0
+    dt = time.perf_counter() - t0
     mvox = out.size / dt / 1e6
     print(json.dumps({
         "metric": "fullvol_600cube_gaussian_stitch_Mvoxels_per_sec",
@@ -152,16 +282,66 @@ def run_inference() -> None:
 def run_selftest() -> int:
     """Run the on-chip Pallas parity tests (VERDICT round-1 weak #6) so every
     bench round re-validates kernel correctness on real hardware."""
+    os.makedirs(LOG_DIR, exist_ok=True)
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_pallas_tpu.py", "-q",
          "--no-header", "-x"],
-        capture_output=True, text=True, timeout=3600,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
         env={**os.environ, "JAX_PLATFORMS": "", "VANGAN_TPU_TESTS": "1"},
     )
+    with open(os.path.join(LOG_DIR, "selftest.out.log"), "w") as f:
+        f.write(proc.stdout)
+    with open(os.path.join(LOG_DIR, "selftest.err.log"), "w") as f:
+        f.write(proc.stderr)
     tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "?"
     sys.stderr.write(f"[bench selftest] rc={proc.returncode}: {tail}\n")
     return proc.returncode
+
+
+def _run_probe(args: list, tag: str, timeout: int = 3600):
+    """One subprocess probe: full logs to bench_logs/, parsed JSON line or an
+    extracted traceback back to the caller."""
+    os.makedirs(LOG_DIR, exist_ok=True)
+    env = {**os.environ, "JAX_TRACEBACK_FILTERING": "off"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env,
+        )
+        rc, out, err = proc.returncode, proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        rc = -1
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        err += f"\n[bench] probe timed out after {timeout}s"
+    with open(os.path.join(LOG_DIR, f"{tag}.out.log"), "w") as f:
+        f.write(out)
+    with open(os.path.join(LOG_DIR, f"{tag}.err.log"), "w") as f:
+        f.write(err)
+    for line in out.splitlines():
+        if line.startswith("{"):
+            try:
+                return json.loads(line), rc, None
+            except json.JSONDecodeError:
+                continue
+    tb = extract_traceback(err or out)
+    return None, rc, tb
+
+
+def _probe_with_retry(args: list, tag: str, failures: list, timeout: int = 3600):
+    """Run a probe; on failure, re-preflight and retry ONCE (a transient
+    compile-service hiccup or contention must not zero the round)."""
+    for attempt in (1, 2):
+        result, rc, tb = _run_probe(args, f"{tag}.a{attempt}", timeout)
+        if result is not None:
+            return result
+        sys.stderr.write(
+            f"[bench] {tag} attempt {attempt} failed (rc={rc}); traceback:\n{tb}\n"
+        )
+        failures.append({"probe": tag, "attempt": attempt, "rc": rc, "traceback": tb})
+        if attempt == 1:
+            preflight(wait_s=60)
+    return None
 
 
 def main() -> None:
@@ -171,44 +351,61 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--inference":
         run_inference()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--force-fail":
+        run_one(1, force_fail=True)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
         raise SystemExit(run_selftest())
 
-    run_selftest()  # on-chip kernel parity gate (failure is logged, not fatal)
+    failures: list = []
+    preflight()
+
+    dry_run = len(sys.argv) > 1 and sys.argv[1] == "--dry-run-failure"
+    if dry_run:
+        # prove the capture path: the injected failure must surface a REAL
+        # traceback (not log noise) in stderr and summary.json
+        result = _probe_with_retry(["--force-fail"], "forcefail", failures, timeout=600)
+        assert result is None and failures and "force-fail" in failures[-1]["traceback"], failures
+        sys.stderr.write("[bench] forced-failure dry run OK — traceback captured\n")
+        _write_summary(None, None, failures)
+        return
+
+    rc = run_selftest()  # on-chip kernel parity gate (failure is logged, not fatal)
+    if rc != 0:
+        failures.append({"probe": "selftest", "rc": rc,
+                         "traceback": "see bench_logs/selftest.err.log"})
 
     # probe both per-chip batch sizes (kernels are per-sample latency-bound
     # today, so batch 1 currently wins; batch 3 runs via the split step) and
     # report the best; batch 2 skipped — never the winner
     results = []
     for batch in (1, 3):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--batch", str(batch)],
-            capture_output=True, text=True, timeout=3600,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                results.append(json.loads(line))
-                break
-        else:
-            sys.stderr.write(
-                f"[bench] batch {batch} failed (rc={proc.returncode}); "
-                f"stderr tail: {proc.stderr[-500:]}\n"
-            )
-    if not results:
-        raise SystemExit("bench failed at all batch sizes")
-    print(json.dumps(max(results, key=lambda r: r["value"])))
+        r = _probe_with_retry(["--batch", str(batch)], f"batch{batch}", failures)
+        if r is not None:
+            results.append(r)
 
-    # secondary metric (BASELINE config 3); failure must not mask the primary
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inference"],
-            capture_output=True, text=True, timeout=3600,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-    except Exception as e:  # pragma: no cover
-        sys.stderr.write(f"[bench] inference bench failed: {e}\n")
+    primary = max(results, key=lambda r: r["value"]) if results else None
+    if primary is not None:
+        print(json.dumps(primary))
+
+    # secondary metric (BASELINE config 3) — runs regardless of the primary
+    inference = _probe_with_retry(["--inference"], "inference", failures)
+    if inference is not None:
+        print(json.dumps(inference))
+
+    _write_summary(primary, inference, failures)
+    if primary is None and inference is None:
+        raise SystemExit("bench failed at every metric; see bench_logs/summary.json")
+
+
+def _write_summary(primary, inference, failures) -> None:
+    os.makedirs(LOG_DIR, exist_ok=True)
+    with open(os.path.join(LOG_DIR, "summary.json"), "w") as f:
+        json.dump({"primary": primary, "inference": inference, "failures": failures},
+                  f, indent=1)
+    if failures:
+        sys.stderr.write(f"[bench] {len(failures)} probe failure(s) recorded in "
+                         f"bench_logs/summary.json\n")
 
 
 if __name__ == "__main__":

@@ -131,3 +131,36 @@ def test_fits_predicate():
     """VMEM planning: huge channel counts report as unfit (XLA fallback)."""
     assert C.conv3d_cxyz_fits((1, 128, 16, 128, 128), (3, 3, 3), (1, 1, 1))
     assert not C.conv3d_cxyz_fits((1, 16, 512, 16, 16), (3, 3, 3), (1, 1, 1), co=512)
+
+
+@pytest.mark.quick
+def test_same_padding_size_aware_odd_dims(rng):
+    """TF SAME with stride 2 on odd dims: total pad = (ceil(n/s)-1)*s + k - n.
+
+    The size-free max(k-s, 0) formula under-pads here (ADVICE r2 #1); both the
+    Pallas path and the transpose reference must match XLA's native size-aware
+    string-"SAME" lowering.
+    """
+    ci, co = 3, 2
+    x = jnp.asarray(rng.normal(size=(1, 9, ci, 11, 13)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)) * 0.3, jnp.float32)
+
+    xl = jnp.transpose(x, (0, 1, 3, 4, 2))
+    dn = jax.lax.conv_dimension_numbers(xl.shape, w.shape, ("NXYZC", "XYZIO", "NXYZC"))
+    oracle = jnp.transpose(
+        jax.lax.conv_general_dilated(xl, w, (2, 2, 2), "SAME", dimension_numbers=dn),
+        (0, 1, 4, 2, 3),
+    )
+    yr = C.conv3d_cxyz_reference(x, w, None, (2, 2, 2), "same", "zeros")
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(oracle), atol=2e-4, rtol=1e-4)
+    with C.force_interpret():
+        y = C.conv3d_cxyz(x, w, None, (2, 2, 2), "same", "zeros")
+    assert y.shape == oracle.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(oracle), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.quick
+def test_same_stride2_without_dims_asserts():
+    """Size-free 'same' resolution with stride > 1 must fail loudly."""
+    with pytest.raises(AssertionError):
+        C._norm_padding("same", (3, 3, 3), (2, 2, 2))

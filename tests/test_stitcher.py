@@ -210,3 +210,52 @@ class TestDeviceStitcher:
         ref = stitch_subvolumes(host_gen, img, **kw)
         dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
         np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+    def test_apply_registry_tokens_survive_gc(self, rng):
+        """Sequentially-created apply fns get distinct monotonic tokens and
+        dispatch to the RIGHT generator even after earlier fns are dropped
+        (VERDICT r2 weak #6: id()-keyed caching could alias after GC)."""
+        import gc
+
+        from vangan_tpu.inference.stitcher import _register_apply
+
+        def make(scale):
+            def apply_fn(variables, x):
+                import jax.numpy as jnp
+
+                return jnp.tanh(x * scale)
+
+            return apply_fn
+
+        img = rng.normal(size=(12, 12, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=False,
+                  save=False, batch_size=4)
+        tokens = []
+        for scale in (0.3, 0.9):
+            fn = make(scale)
+            tokens.append(_register_apply(fn))
+            dev = stitch_subvolumes(None, img, device_apply=(fn, {}), **kw)
+            ref = stitch_subvolumes(lambda x, s=scale: np.tanh(x * s), img, **kw)
+            np.testing.assert_allclose(dev, ref, atol=2e-3)
+            del fn
+            gc.collect()
+        assert tokens[0] != tokens[1]
+        # re-registering the same (pinned) fn returns its existing token
+        from vangan_tpu.inference.stitcher import _APPLY_REGISTRY
+
+        pinned = _APPLY_REGISTRY[tokens[1]]
+        assert _register_apply(pinned) == tokens[1]
+
+    def test_max_chunks_warmup_then_full(self, rng):
+        """max_chunks=1 compiles at the real shapes; a full run afterwards is
+        exact (the bench warm-up pattern, VERDICT r2 weak #5)."""
+        host_gen, device_apply = self._toy_gen()
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
+                  padFactor=0.25, save=False, batch_size=4, blend="gaussian")
+        warm = stitch_subvolumes(host_gen, img, device_apply=device_apply,
+                                 max_chunks=1, **kw)
+        assert warm.shape == img.shape  # partial result, shape only
+        ref = stitch_subvolumes(host_gen, img, **kw)
+        dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
+        np.testing.assert_allclose(dev, ref, atol=2e-3)

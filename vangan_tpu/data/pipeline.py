@@ -257,10 +257,17 @@ class VanGanDataset:
         if self.semi_supervised_dir is None:
             return None
         path = str(self.seg_partition["training"][0])
+        pair_path = os.path.join(self.semi_supervised_dir, os.path.basename(path))
+        if not os.path.exists(pair_path):
+            # degrade to the two-column panel rather than crash at startup
+            return None
         seg = np.load(path)
-        pair = np.load(os.path.join(self.semi_supervised_dir, os.path.basename(path)))
+        pair = np.load(pair_path)
         rng = np.random.default_rng(self.seed + 901)
         patch = self.cfg.seg_subvol_patch_shape
+        # corner-crop fallback keeps ``sl`` defined when REJECTION_MAX_TRIES
+        # is 0 or no try accepts (plotting path; exactness doesn't matter)
+        sl = tuple(slice(0, p) for p in patch)
         for _ in range(self.cfg.REJECTION_MAX_TRIES):
             starts = [int(rng.integers(0, seg.shape[i] - patch[i] + 1))
                       for i in range(len(patch))]

@@ -137,7 +137,12 @@ class ConvND(nn.Module):
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         stride = _norm_stride(self.strides)
-        pads = _norm_padding(self.padding, k, stride)
+        dims = (
+            (x.shape[1], x.shape[3], x.shape[4])
+            if self.layout == "NXCYZ"
+            else tuple(x.shape[1:4])
+        )
+        pads = _norm_padding(self.padding, k, stride, dims)
 
         if self.layout == "NXCYZ":
             # Pallas pays off where lane padding hurts XLA: small/odd channel

@@ -106,16 +106,32 @@ def _norm_stride(stride) -> Tuple[int, int, int]:
     return tuple(stride)
 
 
-def _norm_padding(padding, k, stride) -> Pad3:
-    """'same' (TF SAME) / 'valid' / explicit ((lo,hi),)*3."""
+def _norm_padding(padding, k, stride, dims=None) -> Pad3:
+    """'same' (TF SAME) / 'valid' / explicit ((lo,hi),)*3.
+
+    With ``dims`` (the spatial input sizes) SAME pads are size-aware and exact
+    for every dim/stride combination (TF semantics:
+    total = (ceil(n/s)-1)*s + k - n). Without dims, the size-free formula
+    max(k-s, 0) is only correct when each dim divides its stride — asserted,
+    so an odd-dim strided 'same' conv fails loudly instead of silently
+    diverging from the reference (ADVICE r2 #1).
+    """
     if isinstance(padding, str):
         p = padding.lower()
         if p == "valid":
             return ((0, 0),) * 3
         if p == "same":
             pads = []
-            for kk, ss in zip(k, stride):
-                total = max(kk - ss, 0)  # exact for dims divisible by stride
+            for ax, (kk, ss) in enumerate(zip(k, stride)):
+                if dims is not None:
+                    n = dims[ax]
+                    total = max((-(-n // ss) - 1) * ss + kk - n, 0)
+                else:
+                    assert ss == 1, (
+                        "'same' with stride > 1 needs the input size to be "
+                        "exact; pass explicit pads or call via ConvND"
+                    )
+                    total = max(kk - ss, 0)
                 pads.append((total // 2, total - total // 2))
             return tuple(pads)
         raise ValueError(f"padding {padding!r}")
@@ -188,6 +204,18 @@ def _pack_w_b(w: jnp.ndarray, dtype) -> jnp.ndarray:
     """(kx,ky,kz,Ci,Co) -> (kx, ky*kz*Co, Ci) for the B formulation."""
     kx, ky, kz, ci, co = w.shape
     return jnp.transpose(w, (0, 1, 2, 4, 3)).reshape(kx, ky * kz * co, ci).astype(dtype)
+
+
+def _safe_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """MXU dot with f32 accumulation; degenerate bf16 dots (any of M/N/K < 8)
+    hit a Mosaic mixed-precision lowering bug ('vector.broadcast' dtype
+    mismatch in the vector-like path) — compute those in f32 (ADVICE r2 #2:
+    this guard existed in form_b/wgrad but not the tap-form forward)."""
+    m, k = a.shape
+    n = b.shape[-1]
+    if min(m, n, k) < 8 and a.dtype != jnp.float32:
+        a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _tap_matrix(x_vmem, xo, *, xb, yb, k, stride, ci, zin):
@@ -354,25 +382,42 @@ def _fwd_kernel(
     for c in copies:
         c.wait()
     w = w_ref[:]  # (kz, Co, kx*ky*Ci)
+    kz_ = k[2]
+    # Stacked-taps dot (round 3): one (kz*Co, K) @ (K, yb*Zp) matmul instead
+    # of kz separate (Co, K) dots — the MXU M axis fills kz x better (Co=16
+    # 3^3 convs: M 16 -> 48; the M under-fill is the measured ceiling,
+    # ROADMAP P0.5). Row-sliced per dz afterwards (sublane-aligned for
+    # co % 8 == 0; smaller co keeps the per-dz path).
+    stacked = co % 8 == 0 and kz_ > 1
 
     def body(xo, _):
         p = _tap_matrix(x_vmem, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
 
         out = None
-        if id_tap is not None:
-            out = jnp.dot(w[id_tap], p, preferred_element_type=jnp.float32).reshape(
-                co * yb, zin
-            )
-        if rest:
-            rs = [
-                jnp.dot(w[dz], p, preferred_element_type=jnp.float32)
-                .reshape(co * yb, zin)
-                .astype(p.dtype)
-                for dz in rest
-            ]
-            r_cat = rs[0] if len(rs) == 1 else jnp.concatenate(rs, axis=-1)
-            shifted = jnp.dot(r_cat, s_ref[:], preferred_element_type=jnp.float32)
-            out = shifted if out is None else out + shifted
+        if stacked:
+            r_all = _safe_dot(w.reshape(kz_ * co, -1), p)  # (kz*Co, yb*Zp)
+            parts = {
+                dz: r_all[dz * co : (dz + 1) * co].reshape(co * yb, zin)
+                for dz in range(kz_)
+            }
+            if id_tap is not None:
+                out = parts[id_tap]
+            if rest:
+                rs = [parts[dz].astype(p.dtype) for dz in rest]
+                r_cat = rs[0] if len(rs) == 1 else jnp.concatenate(rs, axis=-1)
+                shifted = _safe_dot(r_cat, s_ref[:])
+                out = shifted if out is None else out + shifted
+        else:
+            if id_tap is not None:
+                out = _safe_dot(w[id_tap], p).reshape(co * yb, zin)
+            if rest:
+                rs = [
+                    _safe_dot(w[dz], p).reshape(co * yb, zin).astype(p.dtype)
+                    for dz in rest
+                ]
+                r_cat = rs[0] if len(rs) == 1 else jnp.concatenate(rs, axis=-1)
+                shifted = _safe_dot(r_cat, s_ref[:])
+                out = shifted if out is None else out + shifted
         o3 = out.reshape(co, yb, zo)
         if has_bias:
             o3 = o3 + b_ref[:].reshape(co, 1, 1)
@@ -634,6 +679,20 @@ def _wgrad_kernel(
     for c in copies:
         c.wait()
 
+    kz_ = k[2]
+    # see _fwd_kernel: one (kz*Co)-row A@B^T instead of kz (Co)-row dots
+    stacked = co % 8 == 0 and kz_ > 1
+
+    def _contract(gd, pp):
+        # (M, yb*Zin) x (kx*ky*Ci, yb*Zin)^T -> (M, kx*ky*Ci). Degenerate
+        # dots (any dim < 8) hit a Mosaic bf16 mixed-precision lowering bug
+        # ('vector.broadcast' dtype mismatch) — compute those in f32.
+        if min(gd.shape[0], pp.shape[0], pp.shape[1]) < 8 and pp.dtype != jnp.float32:
+            gd, pp = gd.astype(jnp.float32), pp.astype(jnp.float32)
+        return lax.dot_general(
+            gd, pp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
     def body(xo, _):
         p = _tap_matrix(x_vmem, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
 
@@ -641,9 +700,8 @@ def _wgrad_kernel(
         # Gd_dz = G @ S_dz^T, stacked: (Co*yb, len(rest)*Zp) in one matmul
         gd_cat = None
         if rest:
-            gd_cat = jnp.dot(
-                g2.astype(p.dtype), st_ref[:], preferred_element_type=jnp.float32
-            )
+            gd_cat = _safe_dot(g2.astype(p.dtype), st_ref[:])
+        gds = {}
         for n, dz in enumerate(
             ([id_tap] if id_tap is not None else []) + list(rest)
         ):
@@ -652,18 +710,14 @@ def _wgrad_kernel(
             else:
                 r = n - (1 if id_tap is not None else 0)
                 gd = gd_cat[:, r * zin : (r + 1) * zin]
-            gd = gd.reshape(co, yb * zin).astype(p.dtype)
-            # (Co, yb*Zin) x (kx*ky*Ci, yb*Zin)^T  ->  (Co, kx*ky*Ci).
-            # Degenerate dots (either free dim < 8) hit a Mosaic bf16
-            # mixed-precision lowering bug ('vector.broadcast' dtype mismatch
-            # in the vector-like path) — compute those in f32.
-            pp = p
-            if min(co, p.shape[0]) < 8 and p.dtype != jnp.float32:
-                gd, pp = gd.astype(jnp.float32), p.astype(jnp.float32)
-            contrib = lax.dot_general(
-                gd, pp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            dw_ref[dz] += contrib
+            gds[dz] = gd.reshape(co, yb * zin).astype(p.dtype)
+        if stacked:
+            gd_all = jnp.concatenate([gds[dz] for dz in range(kz_)], axis=0)
+            contrib = _contract(gd_all, p)  # (kz*Co, kx*ky*Ci)
+            dw_ref[...] += contrib.reshape(kz_, co, p.shape[0])
+        else:
+            for dz, gd in gds.items():
+                dw_ref[dz] += _contract(gd, p)
         return 0
 
     if unroll:
@@ -867,7 +921,7 @@ def conv3d_cxyz(
     """
     k = tuple(w.shape[:3])
     stride = _norm_stride(stride)
-    pads = _norm_padding(padding, k, stride)
+    pads = _norm_padding(padding, k, stride, (x.shape[1], x.shape[3], x.shape[4]))
     (lox, hix), (loy, hiy), z_pad = pads
     if lox or hix or loy or hiy:
         if pad_mode == "reflect":
@@ -914,7 +968,7 @@ def conv3d_cxyz_reference(
     """XLA reference with identical semantics: CXYZ in/out via NXYZC transpose."""
     k = tuple(w.shape[:3])
     stride = _norm_stride(stride)
-    pads = _norm_padding(padding, k, stride)
+    pads = _norm_padding(padding, k, stride, (x.shape[1], x.shape[3], x.shape[4]))
     xl = jnp.transpose(x, (0, 1, 3, 4, 2))  # -> (B, X, Y, Z, Ci)
     if pad_mode == "reflect":
         xl = jnp.pad(xl, ((0, 0), *[(lo, hi) for lo, hi in pads], (0, 0)), mode="reflect")
