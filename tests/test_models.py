@@ -234,3 +234,50 @@ class TestLayoutParity:
         y1 = m1.apply(v1, x, train=False)
         y2 = m2.apply(v2, x, train=False)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4)
+
+
+class TestFusedInstanceNormWiring:
+    """Model-level coverage of the fused IN+act dispatch (interpret mode):
+    the NXCYZ path with the Pallas instnorm kernels must match the NXYZC jnp
+    path through full models and their gradients."""
+
+    KW = dict(upsample_mode="simple", dropout=0.0, dropout_type="none",
+              filters=4, num_layers=2, output_activation="tanh")
+
+    @pytest.mark.quick
+    def test_resunet_fused_in_matches(self, rng):
+        from vangan_tpu.ops.pallas import instnorm as IN
+
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+        m1 = ResUNet3D(**self.KW, layout="NXYZC")
+        m2 = ResUNet3D(**self.KW, layout="NXCYZ")
+        v = m1.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        y1 = m1.apply(v, x, train=False)
+        with IN.force_interpret():
+            y2 = m2.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=5e-4)
+
+    @pytest.mark.quick
+    def test_discriminator_fused_in_gradients(self, rng):
+        from vangan_tpu.ops.pallas import instnorm as IN
+
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+        d1 = PatchGANDiscriminator3D(filters=8, layout="NXYZC")
+        d2 = PatchGANDiscriminator3D(filters=8, layout="NXCYZ")
+        v = d1.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+
+        def loss(m, v, x):
+            return jnp.sum(m.apply(v, x, train=False).astype(jnp.float32) ** 2)
+
+        g1 = jax.grad(lambda v: loss(d1, v, x))(v)
+        with IN.force_interpret():
+            g2 = jax.grad(lambda v: loss(d2, v, x))(v)
+        leaves1 = jax.tree_util.tree_leaves(g1)
+        leaves2 = jax.tree_util.tree_leaves(g2)
+        # conv biases feeding an InstanceNorm have an exactly-zero true
+        # gradient (the mean subtraction cancels them): normalise near-zero
+        # leaves by the global scale, not their own numerical residue
+        gmax = max(float(jnp.max(jnp.abs(a))) for a in leaves1)
+        for a, b in zip(leaves1, leaves2):
+            s = max(float(jnp.max(jnp.abs(a))), 1e-3 * gmax) + 1e-6
+            np.testing.assert_allclose(np.asarray(b) / s, np.asarray(a) / s, atol=2e-4)

@@ -61,17 +61,22 @@ class PatchGANDiscriminator3D(nn.Module):
                 x, deterministic=not train, stddev=noise_std
             )
 
+        # Without spectral norm, conv0 feeds inorm0 directly — a bias there
+        # is exactly IN-cancelled (dead param; see PreActConvBlock docstring).
+        # The SN branch has no norm, so its bias is live.
         first_conv = ConvND(
             self.filters, 4, 2,
             padding=((1, 1),) * 3 if fold_pad else "valid",
-            pad_mode="reflect", use_bias=True, layout=lt, dtype=self.dtype, name="conv0",
+            pad_mode="reflect", use_bias=self.use_SN, layout=lt, dtype=self.dtype,
+            name="conv0",
         )
         if self.use_SN:
             x = nn.SpectralNorm(first_conv)(x, update_stats=train)
+            x = nn.leaky_relu(x, 0.2)
         else:
             x = first_conv(x)
-            x = InstanceNorm(layout=lt, dtype=self.dtype, name="inorm0")(x)
-        x = nn.leaky_relu(x, 0.2)
+            x = InstanceNorm(act="leaky_relu", layout=lt, dtype=self.dtype,
+                             name="inorm0")(x)
 
         num_filters = self.filters
         for block in range(self.num_downsampling):

@@ -171,18 +171,27 @@ class ConvND(nn.Module):
 
 
 class InstanceNorm(nn.Module):
-    """Per-sample, per-channel normalisation over spatial dims.
+    """Per-sample, per-channel normalisation over spatial dims, with an
+    optional fused activation epilogue.
 
     Equivalent of tfa.layers.InstanceNormalization (epsilon 1e-3, learned
-    scale/offset). Statistics are computed in float32 regardless of the compute
-    dtype. ``gamma_init`` is configurable because the reference's ResNet
-    generator initialises gamma with he_normal (generator.py:14,40).
+    scale/offset) followed by ``act`` (none | relu | leaky_relu). Statistics
+    are computed in float32 regardless of the compute dtype. ``gamma_init``
+    is configurable because the reference's ResNet generator initialises
+    gamma with he_normal (generator.py:14,40).
+
+    On the NXCYZ layout the whole norm+act runs through the fused Pallas
+    kernels (ops/pallas/instnorm.py) — the XLA lowering of this reduction
+    costs ~10x the bandwidth floor (docs/PERF.md). The jnp fallback is
+    numerically equivalent (same f32 statistics).
     """
 
     epsilon: float = 1e-3
     use_scale: bool = True
     use_bias: bool = True
     gamma_init: Callable = nn.initializers.ones
+    act: str = "none"  # 'none' | 'relu' | 'leaky_relu'
+    leaky_slope: float = 0.2
     layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
@@ -192,6 +201,28 @@ class InstanceNorm(nn.Module):
         c = x.shape[cax]
         bshape = [1] * x.ndim
         bshape[cax] = c
+        gamma = (
+            self.param("scale", self.gamma_init, (c,), jnp.float32)
+            if self.use_scale
+            else jnp.ones((c,), jnp.float32)
+        )
+        beta = (
+            self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            if self.use_bias
+            else jnp.zeros((c,), jnp.float32)
+        )
+
+        from vangan_tpu.ops.pallas.instnorm import (
+            instance_norm_act,
+            instance_norm_act_supported,
+        )
+
+        if instance_norm_act_supported(x.shape, self.layout):
+            y = instance_norm_act(
+                x, gamma, beta, self.epsilon, self.act, self.leaky_slope
+            )
+            return y.astype(self.dtype or x.dtype)
+
         axes = spatial_axes(self.layout, x.ndim)
         # Statistics accumulate in float32 via the reduction dtype; the
         # elementwise math stays in the compute dtype. (A full f32 cast of the
@@ -203,11 +234,13 @@ class InstanceNorm(nn.Module):
         inv = jax.lax.rsqrt(var32 + self.epsilon)
         y = xc * inv.astype(x.dtype)
         if self.use_scale:
-            gamma = self.param("scale", self.gamma_init, (c,), jnp.float32)
             y = y * gamma.astype(x.dtype).reshape(bshape)
         if self.use_bias:
-            beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
             y = y + beta.astype(x.dtype).reshape(bshape)
+        if self.act == "relu":
+            y = nn.relu(y)
+        elif self.act == "leaky_relu":
+            y = nn.leaky_relu(y, self.leaky_slope)
         return y.astype(self.dtype or x.dtype)
 
 
@@ -285,18 +318,26 @@ class NormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = InstanceNorm(layout=self.layout, dtype=self.dtype, name="inorm")(x)
-        if self.act:
-            x = nn.relu(x)
-        return x
+        return InstanceNorm(
+            act="relu" if self.act else "none",
+            layout=self.layout, dtype=self.dtype, name="inorm",
+        )(x)
 
 
 class PreActConvBlock(nn.Module):
-    """norm-act -> reflect-pad -> conv (resunet_model.py:42-66)."""
+    """norm-act -> reflect-pad -> conv (resunet_model.py:42-66).
+
+    ``use_bias=False`` where the conv's output feeds directly into another
+    InstanceNorm: IN subtracts the per-channel mean, so a conv bias there is
+    exactly cancelled — a dead parameter whose gradient is pure bf16
+    round-off (the f32-trained reference keeps the same dead parameter
+    pinned at ~0; dropping it is function-identical). See docs/PARITY.md.
+    """
 
     filters: int
     kernel_size: int = 3
     strides: int = 1
+    use_bias: bool = True
     layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
 
@@ -306,7 +347,8 @@ class PreActConvBlock(nn.Module):
         p = self.kernel_size // 2
         x = ConvND(
             self.filters, self.kernel_size, self.strides, padding=((p, p),) * 3,
-            pad_mode="reflect", layout=self.layout, dtype=self.dtype, name="conv",
+            pad_mode="reflect", use_bias=self.use_bias, layout=self.layout,
+            dtype=self.dtype, name="conv",
         )(x)
         return x
 
@@ -321,16 +363,19 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # conv1 feeds conv_block's InstanceNorm and shortcut feeds
+        # shortcut_norm directly: biases there are exactly cancelled by the
+        # IN mean-subtraction (dead params; see PreActConvBlock docstring)
         conv = ConvND(
             self.filters, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect",
-            layout=self.layout, dtype=self.dtype, name="conv1",
+            use_bias=False, layout=self.layout, dtype=self.dtype, name="conv1",
         )(x)
         conv = PreActConvBlock(
             self.filters, layout=self.layout, dtype=self.dtype, name="conv_block"
         )(conv)
         shortcut = ConvND(
-            self.filters, 1, 1, padding="same", layout=self.layout, dtype=self.dtype,
-            name="shortcut",
+            self.filters, 1, 1, padding="same", use_bias=False,
+            layout=self.layout, dtype=self.dtype, name="shortcut",
         )(x)
         shortcut = NormAct(act=False, layout=self.layout, dtype=self.dtype, name="shortcut_norm")(
             shortcut
@@ -351,16 +396,18 @@ class ResUNetResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # block1's conv feeds block2's InstanceNorm and shortcut feeds
+        # shortcut_norm directly: biases there are dead (IN-cancelled)
         res = PreActConvBlock(
-            self.filters, strides=self.strides, layout=self.layout, dtype=self.dtype,
-            name="block1",
+            self.filters, strides=self.strides, use_bias=False,
+            layout=self.layout, dtype=self.dtype, name="block1",
         )(x)
         res = PreActConvBlock(
             self.filters, strides=1, layout=self.layout, dtype=self.dtype, name="block2"
         )(res)
         shortcut = ConvND(
-            self.filters, 1, self.strides, padding="same", layout=self.layout,
-            dtype=self.dtype, name="shortcut",
+            self.filters, 1, self.strides, padding="same", use_bias=False,
+            layout=self.layout, dtype=self.dtype, name="shortcut",
         )(x)
         shortcut = NormAct(act=False, layout=self.layout, dtype=self.dtype, name="shortcut_norm")(
             shortcut
@@ -453,10 +500,11 @@ class DiscDownsample(nn.Module):
         )
         if self.use_spec_norm:
             x = nn.SpectralNorm(conv)(x, update_stats=train)
+            x = nn.leaky_relu(x, self.leaky_slope)
         else:
             x = conv(x)
-            x = InstanceNorm(layout=self.layout, dtype=self.dtype, name="inorm")(x)
-        x = nn.leaky_relu(x, self.leaky_slope)
+            x = InstanceNorm(act="leaky_relu", leaky_slope=self.leaky_slope,
+                             layout=self.layout, dtype=self.dtype, name="inorm")(x)
         if self.use_dropout:
             x = spatial_dropout(
                 self.dropout_rate, n_spatial=x.ndim - 2, name="dropout", layout=self.layout
@@ -479,8 +527,8 @@ class CycleGANResidualBlock(nn.Module):
         gamma = he_normal_1d
         x = ConvND(self.dim, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect", use_bias=False,
                    layout=self.layout, dtype=self.dtype, name="conv1")(x)
-        x = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype, name="inorm1")(x)
-        x = nn.relu(x)
+        x = InstanceNorm(gamma_init=gamma, act="relu", layout=self.layout,
+                         dtype=self.dtype, name="inorm1")(x)
         x = ConvND(self.dim, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect", use_bias=False,
                    layout=self.layout, dtype=self.dtype, name="conv2")(x)
         x = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype, name="inorm2")(x)

@@ -56,9 +56,8 @@ class ResNetGenerator3D(nn.Module):
         # Stem: 7^3 conv + IN(he_normal gamma) + relu + spatial dropout
         x = ConvND(filters, 7, 1, padding=((3, 3),) * 3, pad_mode="reflect",
                    use_bias=False, layout=lt, dtype=self.dtype, name="stem_conv")(x)
-        x = InstanceNorm(gamma_init=he_normal_1d, layout=lt, dtype=self.dtype,
-                         name="stem_inorm")(x)
-        x = nn.relu(x)
+        x = InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
+                         dtype=self.dtype, name="stem_inorm")(x)
         x = spatial_dropout(self.stem_dropout, name="stem_dropout", layout=lt)(
             x, deterministic=not train
         )
@@ -69,9 +68,8 @@ class ResNetGenerator3D(nn.Module):
             filters *= 2
             x = ConvND(filters, 3, 2, padding=((1, 1),) * 3, pad_mode="reflect",
                        use_bias=False, layout=lt, dtype=self.dtype, name=f"down{i}")(x)
-            x = InstanceNorm(gamma_init=he_normal_1d, layout=lt, dtype=self.dtype,
-                             name=f"down_inorm{i}")(x)
-            x = nn.relu(x)
+            x = InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
+                             dtype=self.dtype, name=f"down_inorm{i}")(x)
             x = spatial_dropout(self.downsample_dropout, name=f"down_dropout{i}", layout=lt)(
                 x, deterministic=not train
             )
@@ -86,9 +84,8 @@ class ResNetGenerator3D(nn.Module):
             x = upsample_nearest(x, 2, layout=lt)
             x = ConvND(filters, 4, 1, padding="same", use_bias=False, layout=lt,
                        dtype=self.dtype, name=f"up{i}")(x)
-            x = InstanceNorm(gamma_init=he_normal_1d, layout=lt, dtype=self.dtype,
-                             name=f"up_inorm{i}")(x)
-            x = nn.relu(x)
+            x = InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
+                             dtype=self.dtype, name=f"up_inorm{i}")(x)
 
         # Head: 7^3 conv + tanh
         x = ConvND(1, 7, 1, padding=((3, 3),) * 3, pad_mode="reflect", use_bias=True,

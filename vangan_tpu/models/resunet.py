@@ -81,7 +81,10 @@ class ResUNet3D(nn.Module):
             skips.append(x)
 
         # Bridge (resunet_model.py:236-238)
-        x = PreActConvBlock(f[-1], layout=lt, dtype=self.dtype, name="bridge1")(x)
+        # bridge1's conv feeds bridge2's InstanceNorm directly — its bias is
+        # exactly IN-cancelled (dead param; see PreActConvBlock docstring)
+        x = PreActConvBlock(f[-1], use_bias=False, layout=lt, dtype=self.dtype,
+                            name="bridge1")(x)
         x = PreActConvBlock(f[-1], layout=lt, dtype=self.dtype, name="bridge2")(x)
 
         # Decoder (resunet_model.py:240-243)

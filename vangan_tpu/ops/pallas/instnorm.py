@@ -1,0 +1,368 @@
+"""Fused InstanceNorm(+activation) Pallas kernels for the NXCYZ layout.
+
+Motivation (docs/PERF.md, v5e 128^3 C=16 bf16): the XLA InstanceNorm costs
+~3.5 ms and the following ReLU ~3.2 ms — ~10x over the HBM bandwidth floor
+(3 reads + 1 write of a 64 MB tensor ≈ 0.3 ms), because the (B, X, C, Y, Z)
+reduction over non-adjacent axes (1, 3, 4) lowers poorly. Nearly every conv
+in every model family is followed (or preceded, in pre-act blocks) by
+IN+ReLU / IN+LeakyReLU (resunet_model.py:23-39, building_blocks.py:107-196,
+discriminator.py:46-121), so this pass-pair dominates the non-conv step time
+(VERDICT r2 item 4).
+
+Design — two slab-blocked kernels per direction, auto-pipelined by Pallas
+BlockSpecs (no manual DMA):
+
+  forward : stats kernel   (read x)        -> per-(b,c) sum, sum(x^2)  [f32]
+            apply kernel   (read x, write) -> act(x*a + b)
+            where a = gamma*rsqrt(var+eps), b = beta - mean*a  (host jnp on
+            (B, C) scalars — tiny)
+  backward: reduce kernel  (read x, g)     -> per-(b,c) sum(g'), sum(xhat*g')
+            dx kernel      (read x, g, write dx)
+            dx = a*(g' - mean_sp(g') - xhat*mean_sp(xhat*g'))   (standard
+            normalisation backward); dgamma/dbeta reduce the per-(b,c) sums
+            over the batch on the host. g' = g * act'(pre-activation),
+            recomputed in-kernel from x (nothing extra is saved).
+
+Statistics accumulate in f32; elementwise math stays in the compute dtype.
+Variance uses E[x^2] - mean^2 in f32 — for IN the input is a conv output at
+unit-ish scale (and eps = 1e-3 floors the rsqrt), so the cancellation risk
+that rules this formulation out for general data does not apply; parity vs
+the two-pass XLA module is covered per-dtype in tests/test_instnorm_fused.py.
+
+Reference behaviours covered: tfa InstanceNormalization epsilon=1e-3 +
+learned scale/offset (building_blocks.py:107), ReLU (resunet_model.py:23-39)
+and LeakyReLU(0.2) (discriminator.py:46-121) epilogues.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:  # Pallas lowering requires a TPU backend; import guarded for CPU envs
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_INTERPRET = False
+
+
+class force_interpret:
+    """Context manager: run the kernels in interpreter mode (tests)."""
+
+    def __enter__(self):
+        global _INTERPRET
+        self._old = _INTERPRET
+        _INTERPRET = True
+
+    def __exit__(self, *a):
+        global _INTERPRET
+        _INTERPRET = self._old
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _active() -> bool:
+    return _HAS_PALLAS and (_INTERPRET or _on_tpu())
+
+
+def _plan_blocks(x: int, c: int, y: int, z: int, itemsize: int,
+                 budget: int = 1024 * 1024):
+    """(xb, yb): largest blocks whose slab fits the VMEM budget. Conservative:
+    the dx kernel holds 3 block operands x 2 pipeline slots plus ~8
+    elementwise temporaries of block size — 1 MB blocks keep the worst kernel
+    under the 16 MB scoped-vmem limit (the c=48 full-res level measured
+    16.09 MB with xb=1 FULL-y blocks, hence the y split)."""
+    for xb in (16, 8, 4, 2, 1):
+        if x % xb == 0 and xb * c * y * z * itemsize <= budget:
+            return xb, y
+    for yb in (y // 2, y // 4, y // 8, 8):
+        if yb >= 8 and y % yb == 0 and c * yb * z * itemsize <= budget:
+            return 1, yb
+    return 1, max(8, y // 16)
+
+
+def _act_fwd(pre: jnp.ndarray, act: str, alpha: float) -> jnp.ndarray:
+    if act == "relu":
+        return jnp.maximum(pre, 0.0)
+    if act == "leaky_relu":
+        # max-based form: bf16 arith.cmpf does not lower on this target
+        return jnp.maximum(pre, jnp.asarray(alpha, pre.dtype) * pre)
+    return pre
+
+
+def _act_grad(pre: jnp.ndarray, act: str, alpha: float) -> jnp.ndarray:
+    """Activation derivative WITHOUT comparisons or boolean selects: bf16
+    arith.cmpf does not lower on this target, and the i1 select mask hits an
+    'Invalid relayout' (both measured 2026-08-17). step(x) = clamp(x*BIG, 0,
+    1) in f32 — exact except on (0, 1e-30), a measure-zero sliver below bf16
+    resolution."""
+    if act == "none":
+        return jnp.ones((), pre.dtype)
+    pf = pre.astype(jnp.float32)
+    step = jnp.minimum(jnp.maximum(pf * 1e30, 0.0), 1.0)
+    if act == "relu":
+        return step.astype(pre.dtype)
+    return (alpha + (1.0 - alpha) * step).astype(pre.dtype)
+
+
+# --- kernels (all blocks (1, xb, C, Y, Z); stats outputs (1, 2, C) f32) ---
+
+
+def _reduce_c1(v: jnp.ndarray) -> jnp.ndarray:
+    """(xb, C, Y, Z) -> (C, 1): sublane-then-lane staged reduction.
+
+    Mosaic-safe: a direct axis=(0,2,3) reduce yields a lane-carried (C,)
+    vector whose layout inference CHECK-fails (measured, 2026-08-17); staging
+    through (C, Z) keeps C on sublanes and ends in the same (c, 1) tile shape
+    the conv kernels use for bias."""
+    s1 = jnp.sum(v, axis=(0, 2))              # (C, Z)
+    return jnp.sum(s1, axis=1, keepdims=True)  # (C, 1)
+
+
+def _linear_step():
+    i, j = pl.program_id(1), pl.program_id(2)
+    return i * pl.num_programs(2) + j
+
+
+def _stats_kernel(x_ref, mean_ref, m2_ref, *, blk_n: int):
+    """Per-(b, c) running (mean, M2) via Chan's parallel-Welford merge.
+
+    Each grid step computes its block's mean and centred sum-of-squares from
+    the VMEM-resident slab (two cheap VMEM passes, ONE HBM read) and merges
+    into the accumulators — immune to the E[x^2]-mean^2 cancellation that a
+    raw sum-of-squares accumulation hits when mean >> std (pinned by
+    tests/test_instnorm_fused.py::test_large_offset_variance_stability).
+    Accumulators are (1, C, 1) blocks (C on sublanes).
+    """
+    i = _linear_step()
+    x = x_ref[0].astype(jnp.float32)  # (xb, C, yb, Z)
+    bm = _reduce_c1(x) / blk_n        # (C, 1)
+    xc = x - _bcast_c(bm, x.shape[1:])
+    m2 = _reduce_c1(lax.square(xc))   # (C, 1)
+
+    @pl.when(i == 0)
+    def _init():
+        mean_ref[0] = bm
+        m2_ref[0] = m2
+
+    @pl.when(i > 0)
+    def _merge():
+        n_a = (i * blk_n).astype(jnp.float32)
+        n_b = jnp.float32(blk_n)
+        delta = bm - mean_ref[0]
+        mean_ref[0] += delta * (n_b / (n_a + n_b))
+        m2_ref[0] += m2 + lax.square(delta) * (n_a * n_b / (n_a + n_b))
+
+
+def _bcast_c(ref_slice, shape3, dtype=None):
+    """(c, 1) per-channel block -> (c, y, z) without a multi-axis broadcast.
+
+    A single vector.broadcast (1,c,1,1) -> (xb,c,y,z) fails to lower
+    (implicit -> sublane+lane in one op, measured 2026-08-17), and staged
+    jnp.broadcast_to chains get constant-folded back into one broadcast at
+    trace time. Instead the LANE expansion is an MXU outer product
+    ((c,1) @ (1,z) — dots always lower and produce a clean (c, z) lane
+    layout, the conv kernels' select-matmul precedent), and only the
+    SUBLANE axis is broadcast (single-axis, supported). The leading block
+    axis broadcasts implicitly in the consuming elementwise op."""
+    c, y, z = shape3
+    v = ref_slice.astype(jnp.float32)  # (c, 1)
+    cz = jax.lax.dot(v, jnp.ones((1, z), jnp.float32))  # (c, z)
+    out = jnp.broadcast_to(cz.reshape(c, 1, z), (c, y, z))
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out
+
+
+def _apply_kernel(x_ref, a_ref, b_ref, y_ref, *, act: str, alpha: float):
+    x = x_ref[0]
+    sh = x.shape[1:]
+    a = _bcast_c(a_ref[0], sh, x.dtype)
+    b = _bcast_c(b_ref[0], sh, x.dtype)
+    pre = x * a + b
+    y_ref[0] = _act_fwd(pre, act, alpha).astype(y_ref.dtype)
+
+
+def _bwd_reduce_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref,
+                       sgp_ref, sxg_ref, *, act: str, alpha: float):
+    i = _linear_step()
+
+    @pl.when(i == 0)
+    def _init():
+        sgp_ref[...] = jnp.zeros_like(sgp_ref)
+        sxg_ref[...] = jnp.zeros_like(sxg_ref)
+
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    sh = x.shape[1:]
+    a = _bcast_c(a_ref[0], sh)
+    b = _bcast_c(b_ref[0], sh)
+    mean = _bcast_c(mean_ref[0], sh)
+    inv = _bcast_c(inv_ref[0], sh)
+    pre = x * a + b
+    gp = g * _act_grad(pre, act, alpha)
+    xhat = (x - mean) * inv
+    sgp_ref[0] += _reduce_c1(gp)
+    sxg_ref[0] += _reduce_c1(xhat * gp)
+
+
+def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref, c1_ref, c2_ref,
+                   dx_ref, *, act: str, alpha: float):
+    # Elementwise math in f32: a bf16 body rounds the broadcast c1/c2
+    # centering constants COHERENTLY across all ~2M voxels, so spatially
+    # summed consumers (conv bias grads, mathematically zero through an IN)
+    # pick up a systematic O(N * 2^-8) bias — measured as bias-grad norms of
+    # 60-1700 vs the XLA path's <5 (2026-08-17). The f32 body fits VMEM now
+    # that blocks are y-split (512 KB budget).
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    sh = x.shape[1:]
+    a = _bcast_c(a_ref[0], sh)
+    b = _bcast_c(b_ref[0], sh)
+    mean = _bcast_c(mean_ref[0], sh)
+    inv = _bcast_c(inv_ref[0], sh)
+    c1 = _bcast_c(c1_ref[0], sh)
+    c2 = _bcast_c(c2_ref[0], sh)
+    pre = x * a + b
+    gp = g * _act_grad(pre, act, alpha)
+    xhat = (x - mean) * inv
+    dx = a * (gp - c1 - xhat * c2)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _grid_call(kernel, x, extras, out_shape, budget: int = 1024 * 1024):
+    """Common (b, x-block, y-block) grid plumbing. ``extras`` are per-(b, C)
+    f32 arrays passed as (1, C, 1) blocks; stats outputs accumulate at a
+    constant index across the sequential grid."""
+    bsz, xdim, c, y, z = x.shape
+    xb, yb = _plan_blocks(xdim, c, y, z, x.dtype.itemsize, budget)
+    vol_spec = pl.BlockSpec((1, xb, c, yb, z),
+                            lambda bi, i, j: (bi, i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec((1, c, 1), lambda bi, i, j: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, c, 1), lambda bi, i, j: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = []
+    inputs = []
+    for e in extras:
+        if e.ndim == 5:
+            in_specs.append(vol_spec)
+            inputs.append(e)
+        else:
+            in_specs.append(scal_spec)
+            inputs.append(e.reshape(e.shape[0], c, 1))
+    out_specs = []
+    for s in out_shape:
+        out_specs.append(stat_spec if s.shape[1:] == (c, 1) else vol_spec)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, xdim // xb, y // yb),
+        in_specs=[vol_spec] + in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3,
+        ),
+        interpret=_INTERPRET,
+    )(x, *inputs)
+
+
+def _stats(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(b, c) mean and variance (f32), merged block-wise (see kernel)."""
+    bsz, xdim, c, y, z = x.shape
+    xb, yb = _plan_blocks(xdim, c, y, z, x.dtype.itemsize)
+    mean, m2 = _grid_call(
+        functools.partial(_stats_kernel, blk_n=xb * yb * z), x, [],
+        [jax.ShapeDtypeStruct((bsz, c, 1), jnp.float32)] * 2,
+    )
+    var = jnp.maximum(m2[..., 0] / (xdim * y * z), 0.0)
+    return mean[..., 0], var
+
+
+def instance_norm_act_supported(shape, layout: str) -> bool:
+    """Kernels handle 2 <= C < 128 on the NXCYZ layout: C=1 trips Mosaic's
+    'Unsupported output implicit dimension' (singleton-dim lowering, measured
+    2026-08-17 — no model config has a C=1 InstanceNorm); C >= 128 levels
+    tile well in XLA already."""
+    return (_active() and layout == "NXCYZ" and len(shape) == 5
+            and 2 <= shape[2] < 128)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def instance_norm_act(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-3,
+    act: str = "none",
+    alpha: float = 0.2,
+) -> jnp.ndarray:
+    """Fused InstanceNorm + activation on a (B, X, C, Y, Z) tensor.
+
+    Numerically equivalent to models.layers.InstanceNorm followed by
+    relu/leaky_relu; gamma/beta are (C,) f32 (pass ones/zeros when the module
+    disables them).
+    """
+    y, _ = _fwd_impl(x, gamma, beta, eps, act, alpha)
+    return y
+
+
+def _fwd_impl(x, gamma, beta, eps, act, alpha):
+    mean, var = _stats(x)
+    inv = lax.rsqrt(var + eps)  # (B, C) f32
+    a = inv * gamma[None, :]
+    b = beta[None, :] - mean * a
+    y = _grid_call(
+        functools.partial(_apply_kernel, act=act, alpha=alpha),
+        x, [a, b], [jax.ShapeDtypeStruct(x.shape, x.dtype)],
+    )
+    return y, (mean, inv, a, b)
+
+
+def _vjp_fwd(x, gamma, beta, eps, act, alpha):
+    y, res = _fwd_impl(x, gamma, beta, eps, act, alpha)
+    return y, (x, gamma, res)
+
+
+def _vjp_bwd(eps, act, alpha, residuals, g):
+    x, gamma, (mean, inv, a, b) = residuals
+    bsz, xdim, c, y_, z = x.shape
+    n = xdim * y_ * z
+    # 256 KB blocks: the f32 bodies hold ~6 full-block f32 temporaries plus
+    # 2-slot pipelines of 2-3 block operands — a 512 KB block measured
+    # 16.62 MB of Mosaic stack at the C=64 level vs the 16 MB scoped-vmem
+    # limit (2026-08-17); 256 KB halves it. Bandwidth-bound either way.
+    sgp, sxg = _grid_call(
+        functools.partial(_bwd_reduce_kernel, act=act, alpha=alpha),
+        x, [g, a, b, mean, inv],
+        [jax.ShapeDtypeStruct((bsz, c, 1), jnp.float32)] * 2,
+        budget=256 * 1024,
+    )
+    sum_gp = sgp[..., 0]    # (B, C)
+    sum_xg = sxg[..., 0]
+    dx = _grid_call(
+        functools.partial(_bwd_dx_kernel, act=act, alpha=alpha),
+        x, [g, a, b, mean, inv, sum_gp / n, sum_xg / n],
+        [jax.ShapeDtypeStruct(x.shape, x.dtype)],
+        budget=256 * 1024,
+    )
+    dgamma = jnp.sum(sum_xg, axis=0)
+    dbeta = jnp.sum(sum_gp, axis=0)
+    return dx, dgamma, dbeta
+
+
+instance_norm_act.defvjp(_vjp_fwd, _vjp_bwd)
