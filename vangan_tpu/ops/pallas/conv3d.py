@@ -218,7 +218,62 @@ def _safe_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _tap_matrix(x_vmem, xo, *, xb, yb, k, stride, ci, zin):
+def _db_enabled() -> bool:
+    """Slab double-buffering kill-switch (on by default, round 3)."""
+    import os
+
+    return os.environ.get("VANGAN_CONV_DB", "1") != "0"
+
+
+def _linear_step():
+    """(t, total, next b/i/j) for the sequential 3-D grid — the manual
+    double-buffer pipeline needs the lexicographic successor's indices."""
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nb, nx, ny = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
+    t = (b * nx + i) * ny + j
+    nxt = t + 1
+    b2 = nxt // (nx * ny)
+    r2 = lax.rem(nxt, nx * ny)
+    i2 = r2 // ny
+    j2 = lax.rem(r2, ny)
+    return t, nb * nx * ny, b2, i2, j2
+
+
+def _slab_pipeline(x_vmem, sem, make_copies, db: bool):
+    """Issue/wait the per-step slab DMA with (optionally) one-step prefetch.
+
+    ``make_copies(slot, bi, ii, jj)`` builds the step's copy descriptors.
+    Grid dims are all "arbitrary" (sequential), so step t+1's slab can stream
+    into the other buffer during step t's compute — the measured dominant gap
+    to the kernels' MXU ceiling was per-block DMA latency (ROADMAP P0.2).
+    Returns the slot index holding the current slab.
+    """
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    if not db:
+        for c in make_copies(0, b, i, j):
+            c.start()
+        for c in make_copies(0, b, i, j):
+            c.wait()
+        return 0
+    t, total, b2, i2, j2 = _linear_step()
+    slot = lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _warm():
+        for c in make_copies(0, b, i, j):
+            c.start()
+
+    @pl.when(t + 1 < total)
+    def _prefetch():
+        for c in make_copies(1 - slot, b2, i2, j2):
+            c.start()
+
+    for c in make_copies(slot, b, i, j):
+        c.wait()
+    return slot
+
+
+def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin):
     """Stack the kx*ky (dx, dy) tap slices for output row ``xo`` into the
     (kx*ky*Ci, yb*Zp) patch matrix ('tap' formulation; the xo loop is
     unrolled with the block size planned against the VMEM stack, _plan_xb).
@@ -231,7 +286,7 @@ def _tap_matrix(x_vmem, xo, *, xb, yb, k, stride, ci, zin):
     sx, sy, _ = stride
     taps = []
     for dx in range(kx):
-        row = x_vmem[pl.ds(sx * xo + dx, 1)][0]  # (Ci, ys, Zp)
+        row = x_vmem[slot, sx * xo + dx]  # (Ci, ys, Zp)
         if sy == 1:
             for dy in range(ky):
                 taps.append(row[:, dy : dy + yb])
@@ -258,6 +313,7 @@ def _fwd_kernel_b(
     rest: Sequence[int],
     has_bias: bool,
     ys: int,
+    db: bool,
 ):
     """Tap-stack-free forward ("B formulation", stride-y == 1 only).
 
@@ -282,30 +338,27 @@ def _fwd_kernel_b(
             x_hbm, w_ref, out_ref, x_vmem, bmat, sem = refs
     kx, ky, kz = k
     sx, _, _ = stride
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
 
     xb_in = sx * (xb - 1) + kx
     span = ys * zin
-    copies = [
-        pltpu.make_async_copy(
-            x_hbm.at[b, i * sx * xb + r, slice(None), pl.ds(j * yb * zin, span)],
-            x_vmem.at[r],
-            sem,
-        )
-        for r in range(xb_in)
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+
+    def mk(slot, bi, ii, jj):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[bi, ii * sx * xb + r, slice(None), pl.ds(jj * yb * zin, span)],
+                x_vmem.at[slot, r],
+                sem.at[slot],
+            )
+            for r in range(xb_in)
+        ]
+
+    slot = _slab_pipeline(x_vmem, sem, mk, db)
 
     kzco = kz * co
     for xo in range(xb):
         acc = None
         for dx in range(kx):
-            row2 = x_vmem[sx * xo + dx]  # (Ci, ys*Zp)
+            row2 = x_vmem[slot, sx * xo + dx]  # (Ci, ys*Zp)
             wdx = w_ref[dx]
             if ci < 8 and row2.dtype != jnp.float32:
                 # degenerate-K dots take Mosaic's vector-like path, which has
@@ -348,6 +401,7 @@ def _fwd_kernel(
     rest: Sequence[int],
     has_bias: bool,
     unroll: bool,
+    db: bool,
 ):
     if rest:
         if has_bias:
@@ -361,26 +415,23 @@ def _fwd_kernel(
             x_hbm, w_ref, out_ref, x_vmem, sem = refs
     kx, ky, kz = k
     sx, sy, sz = stride
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
 
     xb_in = sx * (xb - 1) + kx
-    ys = x_vmem.shape[2]
+    ys = x_vmem.shape[3]
+
     # Per-x-row DMAs (a single strided copy between full dims faults the TPU
     # worker on this toolchain); start all, then wait all, to overlap.
-    copies = [
-        pltpu.make_async_copy(
-            x_hbm.at[b, i * sx * xb + r, slice(None), pl.ds(j * sy * yb, ys)],
-            x_vmem.at[r],
-            sem,
-        )
-        for r in range(xb_in)
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    def mk(slot, bi, ii, jj):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[bi, ii * sx * xb + r, slice(None), pl.ds(jj * sy * yb, ys)],
+                x_vmem.at[slot, r],
+                sem.at[slot],
+            )
+            for r in range(xb_in)
+        ]
+
+    slot = _slab_pipeline(x_vmem, sem, mk, db)
     w = w_ref[:]  # (kz, Co, kx*ky*Ci)
     kz_ = k[2]
     # Stacked-taps dot (round 3): one (kz*Co, K) @ (K, yb*Zp) matmul instead
@@ -391,7 +442,7 @@ def _fwd_kernel(
     stacked = co % 8 == 0 and kz_ > 1
 
     def body(xo, _):
-        p = _tap_matrix(x_vmem, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
+        p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
 
         out = None
         if stacked:
@@ -446,7 +497,8 @@ def _per_xo_bytes(yb, k, ci, co, zp, itemsize) -> int:
 def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize, form_b=False) -> int:
     kx, ky, kz = k
     ys = _round_up(stride[1] * (yb - 1) + ky, 8)
-    slab = (stride[0] * (xb - 1) + kx) * ci * ys * zp * itemsize
+    nslots = 2 if _db_enabled() else 1  # double-buffered slab (round 3)
+    slab = nslots * (stride[0] * (xb - 1) + kx) * ci * ys * zp * itemsize
     w_bytes = kz * co * kx * ky * ci * itemsize
     if form_b:
         # explicit B scratch + small per-xo accumulate/select temporaries
@@ -474,7 +526,12 @@ def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False):
 
     # default 8: yb=16 kernels are ~20% faster standalone but their larger
     # Mosaic compile footprint OOMs the remote compile helper when the full
-    # train-step module (~40 kernels) compiles in one process
+    # train-step module (~40 kernels) compiles in one process. Budget
+    # arithmetic: the helper peaks ~2 GB/kernel at yb=8 (xo-unrolled body
+    # size doubles with yb since the per-xo tap stack doubles); ~40 kernels
+    # compile in one helper process whose cgroup limit is ~16 GB — yb=16
+    # tripped it (SIGKILL, round 2), yb=8 leaves ~2x headroom. Raise only
+    # with backward_mode='split' (3 smaller modules) after measuring.
     yb_max = int(os.environ.get("VANGAN_CONV_YB_MAX", "8"))
     sy = stride[1]
     for yb in (16, 8):
@@ -572,33 +629,35 @@ def _conv_fwd(
     dtype = xp.dtype
     has_bias = bias is not None
     xb_in = sx * (xb - 1) + kx
+    db = _db_enabled()
+    nslots = 2 if db else 1
     if form_b:
         # y and z carried as MERGED lanes: a free host reshape makes every
         # in-kernel weight product relayout-free
         xp4 = xp.reshape(*xp.shape[:3], xp.shape[3] * xp.shape[4])
         inputs = [xp4, _pack_w_b(w, dtype)]
         scratch = [
-            pltpu.VMEM((xb_in, ci, ys * zp), dtype),
+            pltpu.VMEM((nslots, xb_in, ci, ys * zp), dtype),
             pltpu.VMEM((ky * kz * co, ys * zp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((nslots,)),
         ]
         kernel = functools.partial(
             _fwd_kernel_b,
             xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
-            ys=ys,
+            ys=ys, db=db,
         )
     else:
         inputs = [xp, _pack_w(w, dtype)]
         scratch = [
-            pltpu.VMEM((xb_in, ci, ys, zp), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nslots, xb_in, ci, ys, zp), dtype),
+            pltpu.SemaphoreType.DMA((nslots,)),
         ]
         kernel = functools.partial(
             _fwd_kernel,
             xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
-            unroll=True,
+            unroll=True, db=db,
         )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -649,6 +708,7 @@ def _wgrad_kernel(
     id_tap: Optional[int],
     rest: Sequence[int],
     unroll: bool,
+    db: bool,
 ):
     if rest:
         x_hbm, g_ref, st_ref, dw_ref, x_vmem, sem = refs
@@ -665,19 +725,19 @@ def _wgrad_kernel(
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
     xb_in = sx * (xb - 1) + kx
-    ys = x_vmem.shape[2]
-    copies = [
-        pltpu.make_async_copy(
-            x_hbm.at[b, i * sx * xb + r, slice(None), pl.ds(j * sy * yb, ys)],
-            x_vmem.at[r],
-            sem,
-        )
-        for r in range(xb_in)
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    ys = x_vmem.shape[3]
+
+    def mk(slot, bi, ii, jj):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[bi, ii * sx * xb + r, slice(None), pl.ds(jj * sy * yb, ys)],
+                x_vmem.at[slot, r],
+                sem.at[slot],
+            )
+            for r in range(xb_in)
+        ]
+
+    slot = _slab_pipeline(x_vmem, sem, mk, db)
 
     kz_ = k[2]
     # see _fwd_kernel: one (kz*Co)-row A@B^T instead of kz (Co)-row dots
@@ -694,7 +754,7 @@ def _wgrad_kernel(
         )
 
     def body(xo, _):
-        p = _tap_matrix(x_vmem, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
+        p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
 
         g2 = g_ref[0, pl.ds(xo, 1)][0].reshape(co * yb, zo)  # (Co*yb, Zo)
         # Gd_dz = G @ S_dz^T, stacked: (Co*yb, len(rest)*Zp) in one matmul
@@ -778,11 +838,13 @@ def _conv_wgrad(
         inputs.append(jnp.asarray(st_cat, dtype))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
+    db = _db_enabled()
+    nslots = 2 if db else 1
     kernel = functools.partial(
         _wgrad_kernel,
         xb=xb, yb=yb, k=k, stride=stride, ci=ci, co=co, zin=zp, zo=zo,
         id_tap=id_tap, rest=tuple(rest),
-        unroll=True,
+        unroll=True, db=db,
     )
     xb_in = sx * (xb - 1) + kx
     dw3 = pl.pallas_call(
@@ -795,8 +857,8 @@ def _conv_wgrad(
         ),
         out_shape=jax.ShapeDtypeStruct((kz, co, kx * ky * ci), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((xb_in, ci, ys, zp), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nslots, xb_in, ci, ys, zp), dtype),
+            pltpu.SemaphoreType.DMA((nslots,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 3,
