@@ -259,3 +259,40 @@ class TestDeviceStitcher:
         ref = stitch_subvolumes(host_gen, img, **kw)
         dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
         np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+    @pytest.mark.parametrize("blend", ["uniform", "gaussian"])
+    def test_mesh_sharded_matches_host(self, rng, blend):
+        """Patch batch sharded over the virtual 8-device mesh == host oracle
+        (multi-chip inference, VERDICT r2 item 7)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from vangan_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8)
+        host_gen, device_apply = self._toy_gen()
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
+                  padFactor=0.25, save=False, batch_size=2, blend=blend)
+        ref = stitch_subvolumes(host_gen, img, **kw)
+        dev = stitch_subvolumes(host_gen, img, device_apply=device_apply,
+                                mesh=mesh, **kw)
+        np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+    def test_mesh_sharded_process_img(self, rng):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from vangan_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8)
+        host_gen, device_apply = self._toy_gen()
+        img = (rng.normal(size=(16, 16, 16, 1)) * 30 + 100).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(8, 8, 8), complete=True,
+                  padFactor=0.1, save=False, batch_size=3, process_img=True)
+        ref = stitch_subvolumes(host_gen, img, **kw)
+        dev = stitch_subvolumes(host_gen, img, device_apply=device_apply,
+                                mesh=mesh, **kw)
+        np.testing.assert_allclose(dev, ref, atol=2e-3)

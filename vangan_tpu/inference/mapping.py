@@ -25,17 +25,27 @@ def run_mapping(
     filepath: str = "",
     batch_size: Optional[int] = None,
     blend: str = "uniform",
+    mesh=None,
 ) -> None:
     """Map every volume in ``test_set`` through gen_IS (segmentation) or gen_SI
     (fake imaging) and save stitched TIFFs (custom_callback.py:466-509).
 
     ``vangan`` is a VanGan facade exposing jitted ``gen_IS_batched`` /
-    ``gen_SI_batched`` callables.
+    ``gen_SI_batched`` callables. With ``mesh`` (or cfg.N_DEVICES > 1 and an
+    available device mesh) the patch batch of every volume is sharded across
+    the data mesh — multi-chip inference.
     """
     gen = vangan.gen_IS_batched if segmentation else vangan.gen_SI_batched
     device_apply = None
     if getattr(vangan.cfg, "stitcher_device", True) and hasattr(vangan, "gen_apply"):
         device_apply = vangan.gen_apply("gen_IS" if segmentation else "gen_SI")
+    if mesh is None and device_apply is not None and vangan.cfg.N_DEVICES > 1:
+        import jax
+
+        if len(jax.devices()) >= vangan.cfg.N_DEVICES:
+            from vangan_tpu.parallel import make_mesh
+
+            mesh = make_mesh(vangan.cfg.N_DEVICES, vangan.cfg.mesh_axis)
     verb = "Segmenting" if segmentation else "Mapping"
     for imgdir in range(len(test_set)):
         img = np.load(str(test_set[imgdir]))
@@ -54,6 +64,7 @@ def run_mapping(
             batch_size=batch_size or getattr(vangan.cfg, "stitcher_batch", 8),
             blend=blend,
             device_apply=device_apply,
+            mesh=mesh,
         )
 
 
