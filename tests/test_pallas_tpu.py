@@ -35,16 +35,33 @@ class TestPallasSkeleton:
         b = jax.jit(lambda v: soft_skel_pallas(v, 5))(x)
         assert float(jnp.abs(a - b).max()) == 0.0
 
-    def test_gradient_matches_xla(self, rng):
+    def test_gradient_matches_xla(self, rng, monkeypatch):
         from vangan_tpu.ops.morphology import soft_skel
         from vangan_tpu.ops.pallas.skeleton import soft_skel_pallas
 
-        # continuous data: no pool ties, so the subgradient conventions agree
+        # f32 residual stacks: numerically identical backward (continuous
+        # data: no pool ties, so the subgradient conventions agree)
+        monkeypatch.setenv("VANGAN_SKEL_RES_DTYPE", "float32")
         x = jnp.asarray(rng.uniform(size=(1, 16, 16, 128, 1)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
         ga = jax.jit(jax.grad(lambda v: jnp.sum(soft_skel(v, 4) * w)))(x)
-        gb = jax.jit(jax.grad(lambda v: jnp.sum(soft_skel_pallas(v, 4) * w)))(x)
+        gb = jax.grad(lambda v: jnp.sum(soft_skel_pallas(v, 4) * w))(x)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-4, atol=1e-5)
+
+    def test_gradient_bf16_residuals_statistical(self, rng):
+        """Default bf16 residual stacks: ~1% of near-tied voxels may route
+        their subgradient to a different argmin; norms must agree."""
+        from vangan_tpu.ops.morphology import soft_skel
+        from vangan_tpu.ops.pallas.skeleton import soft_skel_pallas
+
+        x = jnp.asarray(rng.uniform(size=(1, 16, 16, 128, 1)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+        ga = np.asarray(jax.jit(jax.grad(lambda v: jnp.sum(soft_skel(v, 4) * w)))(x))
+        gb = np.asarray(jax.grad(lambda v: jnp.sum(soft_skel_pallas(v, 4) * w))(x))
+        mism = np.abs(gb - ga) > 0.02 * np.abs(ga) + 5e-4
+        assert mism.mean() < 0.02, f"flip rate {mism.mean():.4f}"
+        rel = np.linalg.norm(gb - ga) / (np.linalg.norm(ga) + 1e-9)
+        assert rel < 0.15, f"grad norm rel err {rel:.4f}"
 
     def test_fallback_on_unsupported_shape(self, rng):
         from vangan_tpu.ops.pallas.skeleton import soft_skel_pallas
@@ -162,49 +179,76 @@ class TestModelParityOnChip:
     something the bench runs is broken')."""
 
     def test_resunet_128_fwd_bwd_parity(self, rng):
+        """Criterion: the Pallas bf16 path must sit no farther from the f32
+        oracle than the XLA bf16 path does. (Direct bf16-vs-bf16 comparison
+        is ill-posed: through 20+ convs + InstanceNorms, rounding differences
+        amplify chaotically at isolated voxels — measured max 0.34 on a tanh
+        output whose two bf16 paths are both ~equally valid.)"""
         from vangan_tpu.config import VanGanConfig
         from vangan_tpu.models.factory import build_generator
 
-        def build(layout):
+        def build(layout, dtype):
             cfg = VanGanConfig(
                 N_DEVICES=1, BATCH_SIZE=1, SUBVOL_PATCH_SIZE=(128, 128, 128),
-                compute_dtype="bfloat16", layout=layout, output_dir="/tmp/vg_selftest",
+                compute_dtype=dtype, layout=layout, output_dir="/tmp/vg_selftest",
             )
             return build_generator(cfg.gen_i2s, cfg, role="i2s")
 
-        m_pallas = build("NXCYZ")
-        m_xla = build("NXYZC")
+        m_pallas = build("NXCYZ", "bfloat16")
+        m_xla = build("NXYZC", "bfloat16")
+        m_oracle = build("NXYZC", "float32")
         x = jnp.asarray(rng.normal(size=(1, 128, 128, 128, 1)), jnp.float32)
         key = jax.random.PRNGKey(0)
         v = m_pallas.init({"params": key}, x, train=False)
         # identical param pytree (ConvND shares the nn.Conv kernel layout)
-        out_p = jax.jit(lambda v, x: m_pallas.apply(v, x, train=False))(v, x)
-        out_x = jax.jit(lambda v, x: m_xla.apply(v, x, train=False))(v, x)
-        a = jnp.asarray(out_p, jnp.float32)
-        b = jnp.asarray(out_x, jnp.float32)
-        # tanh head bounds outputs to [-1,1]; bf16 conv stacks diverge ~1e-2
-        assert float(jnp.max(jnp.abs(a - b))) < 8e-2, "fwd parity"
+        out_p = np.asarray(jax.jit(lambda v, x: m_pallas.apply(v, x, train=False))(v, x),
+                           np.float32)
+        out_x = np.asarray(jax.jit(lambda v, x: m_xla.apply(v, x, train=False))(v, x),
+                           np.float32)
+        out_o = np.asarray(jax.jit(lambda v, x: m_oracle.apply(v, x, train=False))(v, x),
+                           np.float32)
+        e_p = np.abs(out_p - out_o)
+        e_x = np.abs(out_x - out_o)
+        assert e_p.mean() < 1.5 * e_x.mean() + 1e-4, (e_p.mean(), e_x.mean())
+        assert np.quantile(e_p, 0.99) < 1.5 * np.quantile(e_x, 0.99) + 1e-3
 
         ct = jnp.asarray(rng.normal(size=out_p.shape), jnp.float32)
 
-        def loss(m):
+        def gradfn(m):
             def f(v, x):
                 return jnp.sum(m.apply(v, x, train=False).astype(jnp.float32) * ct)
 
             return jax.jit(jax.grad(f, argnums=0))
 
-        gp = loss(m_pallas)(v, x)
-        gx = loss(m_xla)(v, x)
-        flat_p = jax.tree_util.tree_leaves(gp)
-        flat_x = jax.tree_util.tree_leaves(gx)
-        assert len(flat_p) == len(flat_x)
-        rel_errs = []
-        for a_, b_ in zip(flat_p, flat_x):
-            af = jnp.asarray(a_, jnp.float32)
-            bf = jnp.asarray(b_, jnp.float32)
-            s = float(jnp.max(jnp.abs(bf))) + 1e-6
-            rel_errs.append(float(jnp.max(jnp.abs(af - bf))) / s)
-        # bf16 grad chains through 20+ convs: loose per-leaf bound, and the
-        # median must be much tighter (catches a systematically-wrong kernel)
-        assert max(rel_errs) < 0.25, f"worst grad leaf rel err {max(rel_errs):.3f}"
-        assert float(np.median(rel_errs)) < 0.08, f"median {np.median(rel_errs):.3f}"
+        gp = jax.tree_util.tree_leaves(gradfn(m_pallas)(v, x))
+        gx = jax.tree_util.tree_leaves(gradfn(m_xla)(v, x))
+        go = jax.tree_util.tree_leaves(gradfn(m_oracle)(v, x))
+        assert len(gp) == len(gx) == len(go)
+        # Two regimes per leaf:
+        #  - LIVE (oracle grad non-trivial): Pallas error vs the f32 oracle
+        #    must be comparable to the XLA-bf16 error — the actual parity bar.
+        #  - DEAD (oracle grad ~0; quasi-IN-cancelled biases that survive the
+        #    structural removal, e.g. enc block2 biases whose every consumer
+        #    is an IN only in the no-attention config): both backends produce
+        #    pure bf16 round-off there. XLA's happens to be tiny because
+        #    --xla_allow_excess_precision keeps fused bf16 chains in f32,
+        #    while a materialised Pallas bf16 dx rounds coherently — a noise
+        #    FLOOR, not a kernel bug. Bound what training actually feels:
+        #    each dead leaf's spurious norm must stay <1% of the global
+        #    gradient norm (clipnorm-100 pollution bound).
+        gtotal = float(np.sqrt(sum(
+            float(np.sum(np.square(np.asarray(o_, np.float32)))) for o_ in go)))
+        ratios, dead_noise = [], []
+        for a_, b_, o_ in zip(gp, gx, go):
+            af, bf, of = (np.asarray(t, np.float32) for t in (a_, b_, o_))
+            n_o = float(np.linalg.norm(of))
+            ep = float(np.linalg.norm(af - of))
+            ex = float(np.linalg.norm(bf - of))
+            if n_o >= 1e-3 * gtotal:
+                ratios.append((ep / n_o) / (ex / n_o + 1e-2))
+            else:
+                dead_noise.append(ep / gtotal)
+        assert max(ratios) < 2.0, f"worst live-leaf ratio {max(ratios):.2f}"
+        assert float(np.mean(ratios)) < 1.3, f"mean live ratio {np.mean(ratios):.2f}"
+        assert max(dead_noise, default=0.0) < 0.01, (
+            f"dead-leaf spurious grad {max(dead_noise):.4f} of global norm")
