@@ -84,14 +84,21 @@ class TestFusedInstanceNorm:
 
 @pytest.mark.quick
 def test_plan_blocks_y_split():
-    """c=48 full-res blocks exceed 1 MB even at xb=1 -> y splits (the
-    dec0-level dx kernel measured 16.09 MB vs the 16 MB scoped-vmem limit
-    with full-y blocks)."""
-    from vangan_tpu.ops.pallas.instnorm import _plan_blocks
+    """Blocks never exceed the budget; the 256 KB default keeps the worst
+    kernel stack (~16x block) plus XLA's in-module S(1) promotions under the
+    16 MB scoped-vmem limit (BENCH r3: 1 MB blocks compiled standalone but
+    OOMed at 16.25 MB inside jit(train_step) at the C=64 level)."""
+    from vangan_tpu.ops.pallas.instnorm import _DEFAULT_BUDGET, _plan_blocks
 
-    xb, yb = _plan_blocks(128, 16, 128, 128, 2)  # 0.5 MB/x-row -> xb=2
-    assert xb == 2 and yb == 128
-    xb, yb = _plan_blocks(128, 48, 128, 128, 2)  # 1.5 MB/x-row -> y splits
-    assert xb == 1 and yb < 128 and 48 * yb * 128 * 2 <= 1024 * 1024
+    assert _DEFAULT_BUDGET <= 256 * 1024
+    # C=16 full-res: 512 KB/x-row -> y-split under the 256 KB default
+    xb, yb = _plan_blocks(128, 16, 128, 128, 2)
+    assert 16 * xb * yb * 128 * 2 <= _DEFAULT_BUDGET
+    # C=48 full-res (dec0): 1.5 MB/x-row -> y splits
+    xb, yb = _plan_blocks(128, 48, 128, 128, 2)
+    assert xb == 1 and yb < 128 and 48 * yb * 128 * 2 <= _DEFAULT_BUDGET
+    # the r3 bench-failure shape (enc2, C=64 @ 32^3 bf16)
+    xb, yb = _plan_blocks(32, 64, 32, 32, 2)
+    assert 64 * xb * yb * 32 * 2 <= _DEFAULT_BUDGET
     xb, yb = _plan_blocks(128, 48, 128, 128, 2, budget=512 * 1024)
     assert xb == 1 and 48 * yb * 128 * 2 <= 512 * 1024

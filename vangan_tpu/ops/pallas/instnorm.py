@@ -37,6 +37,7 @@ and LeakyReLU(0.2) (discriminator.py:46-121) epilogues.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -78,13 +79,23 @@ def _active() -> bool:
     return _HAS_PALLAS and (_INTERPRET or _on_tpu())
 
 
+_DEFAULT_BUDGET = int(os.environ.get("VANGAN_INSTNORM_BLOCK_KIB", "256")) * 1024
+
+
 def _plan_blocks(x: int, c: int, y: int, z: int, itemsize: int,
-                 budget: int = 1024 * 1024):
+                 budget: int = _DEFAULT_BUDGET):
     """(xb, yb): largest blocks whose slab fits the VMEM budget. Conservative:
     the dx kernel holds 3 block operands x 2 pipeline slots plus ~8
-    elementwise temporaries of block size — 1 MB blocks keep the worst kernel
-    under the 16 MB scoped-vmem limit (the c=48 full-res level measured
-    16.09 MB with xb=1 FULL-y blocks, hence the y split)."""
+    elementwise temporaries of block size (the c=48 full-res level measured
+    16.09 MB of Mosaic stack with xb=1 FULL-y 1.5 MB blocks vs the 16 MB
+    scoped-vmem limit, hence the y split). The default is 256 KB — not the
+    largest size that fits standalone — because scoped vmem is shared with
+    whatever XLA promotes to VMEM *around* the kernel in the enclosing
+    module: in the full train step XLA places the inorm output (4 MB at the
+    C=64 level) in S(1), and a 1 MB-block apply kernel that compiled clean in
+    the selftest then OOMed at 16.25 MB inside jit(train_step) (BENCH r3
+    batch probes, 2026-08-17). Small blocks cost only grid-step overhead —
+    the kernels are bandwidth-bound."""
     for xb in (16, 8, 4, 2, 1):
         if x % xb == 0 and xb * c * y * z * itemsize <= budget:
             return xb, y
@@ -243,7 +254,7 @@ def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref, c1_ref, c2_ref
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
-def _grid_call(kernel, x, extras, out_shape, budget: int = 1024 * 1024):
+def _grid_call(kernel, x, extras, out_shape, budget: int = _DEFAULT_BUDGET):
     """Common (b, x-block, y-block) grid plumbing. ``extras`` are per-(b, C)
     f32 arrays passed as (1, C, 1) blocks; stats outputs accumulate at a
     constant index across the sequential grid."""
