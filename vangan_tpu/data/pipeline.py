@@ -43,16 +43,22 @@ def random_spatial_augmentation(
     preserve_depth_orientation: bool = False,
     max_rotation_angle: float = 180.0,
 ) -> np.ndarray:
-    """Random (y,z)-plane flips and optional rot90 (dataset.py:205-219)."""
+    """Random (y,z)-plane flips and optional rot90 (dataset.py:205-219).
+
+    Rank dispatch mirrors the reference's: a 4-D ``(x, y, z, c)`` volume is
+    flipped/rotated in its (y, z) plane (tf.image treats dim0 as batch); a
+    3-D ``(h, w, c)`` DIMENSIONS=2 image in its (h, w) plane.
+    """
+    lr_ax, ud_ax = (2, 1) if arr.ndim == 4 else (1, 0)
     if rng.uniform() > 0.5:
-        arr = arr[:, :, ::-1]  # 'left_right' = last spatial dim of the (y,z) plane
+        arr = np.flip(arr, axis=lr_ax)  # 'left_right'
     if rng.uniform() > 0.5:
-        arr = arr[:, ::-1]  # 'up_down'
+        arr = np.flip(arr, axis=ud_ax)  # 'up_down'
     if not preserve_depth_orientation:
         angle = rng.uniform(-max_rotation_angle, max_rotation_angle)
         k = int(math.floor(angle / 90.0)) % 4
         if k:
-            arr = np.rot90(arr, k=k, axes=(1, 2))
+            arr = np.rot90(arr, k=k, axes=(ud_ax, lr_ax))
     return np.ascontiguousarray(arr)
 
 
@@ -294,6 +300,18 @@ class VanGanDataset:
         dIS = self._paired_sample()
         cols = [dI, dS] + ([dIS] if dIS is not None else [])
         titles = ["Imaging Dataset", "Segmentation Dataset", "Paired Imaging Dataset"]
+
+        if dI.ndim == 3:
+            # DIMENSIONS=2: single-row panel, direct imshow (dataset.py:293-330)
+            fig, axs = plt.subplots(2, len(cols), figsize=(10, 8))
+            for c, (img, title) in enumerate(zip(cols, titles)):
+                axs[0, c].imshow((img[..., 0] * 127.5 + 127.5).astype(np.uint8), cmap="gray")
+                axs[0, c].set_title(title)
+                axs[1, c].hist(img.ravel(), bins=256, fc="k", ec="k", density=True)
+            axs[1, 0].set_ylabel("Pixel Frequency")
+            fig.savefig(_os.path.join(out_dir, "dataset_sample_2d.png"), dpi=120)
+            plt.close(fig)
+            return
 
         from vangan_tpu.data.preprocess import write_tiff
 

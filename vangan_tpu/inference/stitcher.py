@@ -320,6 +320,24 @@ def _round_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+_WRAP2D: dict = {}  # apply_fn -> z-squeezing wrapper (stable identity so the
+#                     device path's apply-registry token stays cache-hot)
+
+
+def _wrap_apply_2d(apply_fn):
+    """Adapt a 2-D ``apply(variables, (B, H, W, C))`` generator to the 3-D
+    device-stitch contract ``(B, kH, kW, 1, C)``. Wrappers are memoised per
+    ``apply_fn`` so repeated stitch calls reuse one registry token (and the
+    jitted programs behind it) instead of recompiling every call."""
+    fn = _WRAP2D.get(apply_fn)
+    if fn is None:
+        def fn(variables, x, _apply=apply_fn):
+            return _apply(variables, x[:, :, :, 0, :])[:, :, :, None, :]
+
+        _WRAP2D[apply_fn] = fn
+    return fn
+
+
 def stitch_subvolumes(
     gen: Callable[[np.ndarray], np.ndarray],
     img: np.ndarray,
@@ -364,8 +382,25 @@ def stitch_subvolumes(
     reference's commented 4-GPU joblib fan-out, custom_callback.py:486-493).
     """
     img = np.asarray(img, dtype=np.float32)
+    two_d = img.ndim == 3
+    if two_d:
+        # DIMENSIONS=2 (custom_callback.py:74-80 semantics): run the 3-D grid
+        # with a singleton z axis (subvol z-size 1, z-stride 1), squeezing the
+        # axis around the 2-D generator. The reference only *declares* this
+        # mode — its generators are Conv3D-only; here it runs end-to-end.
+        img = img[:, :, None, :]
+        sub = tuple(subvol_size)
+        if len(sub) == 4:  # (GB, kH, kW, C) — 2-D INPUT_IMG_SIZE convention
+            subvol_size = (sub[0], sub[1], sub[2], 1, sub[3])
+        stride = (stride[0], stride[1], 1)
+        if gen is not None:
+            gen3, gen = gen, lambda p: np.asarray(gen3(p[:, :, :, 0, :]))[:, :, :, None, :]
+        if device_apply is not None:
+            apply_fn, variables = device_apply
+            device_apply = (_wrap_apply_2d(apply_fn), variables)
     if img.ndim != 4:
-        raise ValueError(f"expected (X, Y, Z, C) volume, got shape {img.shape}")
+        raise ValueError(f"expected (X, Y, Z, C) volume or (H, W, C) image, "
+                         f"got shape {img.shape}")
 
     oimgshape = img.shape
     xspacing = yspacing = zspacing = 0
@@ -456,6 +491,8 @@ def stitch_subvolumes(
     pred = 255 * min_max_norm_np(pred)
     if not complete:
         pred = pred.astype("uint8")
+    if two_d:
+        pred = pred[:, :, 0, :]
 
     if save:
         from vangan_tpu.data.preprocess import write_tiff
@@ -464,6 +501,7 @@ def stitch_subvolumes(
             out_file = os.path.join(model_path, f"e{epoch + 1}_{name}.tiff")
         else:
             out_file = os.path.join(output_path or ".", f"{name}.tiff")
-        # TIFF layout (z, x, y, c) like the reference (custom_callback.py:213-223)
-        write_tiff(out_file, np.transpose(pred, (2, 0, 1, 3)))
+        # TIFF layout (z, x, y, c) like the reference (custom_callback.py:213-223);
+        # 2-D images are written as-is (h, w, c)
+        write_tiff(out_file, pred if two_d else np.transpose(pred, (2, 0, 1, 3)))
     return pred

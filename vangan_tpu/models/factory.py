@@ -18,6 +18,15 @@ def _dtype_of(cfg) -> Any:
     return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
 
 
+def _layout_of(cfg) -> str:
+    """Model layout: the NXCYZ Pallas layout engine is 3-D only, so
+    DIMENSIONS=2 configs always build channels-last models (the rank itself
+    is inferred from the input tensors — see models.layers.ConvND)."""
+    if getattr(cfg, "DIMENSIONS", 3) == 2:
+        return "NXYZC"
+    return getattr(cfg, "layout", "NXYZC")
+
+
 def build_generator(kind: str, cfg, role: str = "i2s") -> nn.Module:
     """Build a generator. ``role`` is 'i2s' (imaging->segmentation) or 's2i'.
 
@@ -27,7 +36,7 @@ def build_generator(kind: str, cfg, role: str = "i2s") -> nn.Module:
     """
     dtype = _dtype_of(cfg)
     f = getattr(cfg, "gen_filters", 16)
-    layout = getattr(cfg, "layout", "NXYZC")
+    layout = _layout_of(cfg)
     if kind == "resnet":
         return ResNetGenerator3D(
             filters=2 * f, num_downsampling_blocks=3, num_residual_blocks=6,
@@ -67,6 +76,6 @@ def build_discriminator(cfg) -> PatchGANDiscriminator3D:
         use_input_noise=True,
         use_layer_noise=True,
         noise_std=getattr(cfg, "layer_noise", 0.1),
-        layout=getattr(cfg, "layout", "NXYZC"),
+        layout=_layout_of(cfg),
         dtype=_dtype_of(cfg),
     )

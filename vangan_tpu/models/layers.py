@@ -47,6 +47,13 @@ def channel_axis(layout: str) -> int:
     return -1 if layout == "NXYZC" else 2
 
 
+def uniform_pads(p: int, x: jnp.ndarray) -> tuple:
+    """Symmetric per-spatial-dim pads matched to the input's rank: ``((p, p),)
+    * n_spatial``. Lets every block express the reference's 3-D literals
+    (e.g. ``((1, 1),) * 3``) in a form that also serves DIMENSIONS=2 inputs."""
+    return ((p, p),) * (x.ndim - 2)
+
+
 def spatial_axes(layout: str, ndim: int = 5) -> tuple:
     if layout == "NXYZC":
         return tuple(range(1, ndim - 1))
@@ -121,8 +128,22 @@ class ConvND(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Spatial rank is inferred from the input: 5-D volumes (the default)
+        # or 4-D images (cfg.DIMENSIONS == 2 — genuine 2-D support, which the
+        # reference half-declares but cannot run: its models are Conv3D-only,
+        # docs/PARITY.md #5). 2-D always takes the channels-last XLA path.
+        if x.ndim == 4:
+            if self.layout == "NXCYZ":
+                raise ValueError(
+                    "the NXCYZ Pallas layout engine is 3-D only; build 2-D "
+                    "models with layout='NXYZC' (factory forces this when "
+                    "cfg.DIMENSIONS == 2)"
+                )
+            n_sp = 2
+        else:
+            n_sp = 3
         k = (
-            (self.kernel_size,) * 3
+            (self.kernel_size,) * n_sp
             if isinstance(self.kernel_size, int)
             else tuple(self.kernel_size)
         )
@@ -136,13 +157,23 @@ class ConvND(nn.Module):
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
-        stride = _norm_stride(self.strides)
+        stride = _norm_stride(self.strides, n_sp)
         dims = (
             (x.shape[1], x.shape[3], x.shape[4])
             if self.layout == "NXCYZ"
-            else tuple(x.shape[1:4])
+            else tuple(x.shape[1 : 1 + n_sp])
         )
         pads = _norm_padding(self.padding, k, stride, dims)
+
+        if n_sp == 2:
+            if self.pad_mode == "reflect" and any(lo or hi for lo, hi in pads):
+                x = jnp.pad(x, ((0, 0), *pads, (0, 0)), mode="reflect")
+                pads = ((0, 0),) * 2
+            dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+            y = lax.conv_general_dilated(x, kernel, stride, list(pads), dimension_numbers=dn)
+            if bias is not None:
+                y = y + bias.astype(dtype)
+            return y
 
         if self.layout == "NXCYZ":
             # Pallas pays off where lane padding hurts XLA: small/odd channel
@@ -346,7 +377,7 @@ class PreActConvBlock(nn.Module):
         x = NormAct(layout=self.layout, dtype=self.dtype, name="norm_act")(x)
         p = self.kernel_size // 2
         x = ConvND(
-            self.filters, self.kernel_size, self.strides, padding=((p, p),) * 3,
+            self.filters, self.kernel_size, self.strides, padding=uniform_pads(p, x),
             pad_mode="reflect", use_bias=self.use_bias, layout=self.layout,
             dtype=self.dtype, name="conv",
         )(x)
@@ -367,7 +398,7 @@ class Stem(nn.Module):
         # shortcut_norm directly: biases there are exactly cancelled by the
         # IN mean-subtraction (dead params; see PreActConvBlock docstring)
         conv = ConvND(
-            self.filters, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect",
+            self.filters, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
             use_bias=False, layout=self.layout, dtype=self.dtype, name="conv1",
         )(x)
         conv = PreActConvBlock(
@@ -525,11 +556,11 @@ class CycleGANResidualBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inp = x
         gamma = he_normal_1d
-        x = ConvND(self.dim, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect", use_bias=False,
+        x = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect", use_bias=False,
                    layout=self.layout, dtype=self.dtype, name="conv1")(x)
         x = InstanceNorm(gamma_init=gamma, act="relu", layout=self.layout,
                          dtype=self.dtype, name="inorm1")(x)
-        x = ConvND(self.dim, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect", use_bias=False,
+        x = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect", use_bias=False,
                    layout=self.layout, dtype=self.dtype, name="conv2")(x)
         x = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype, name="inorm2")(x)
         return inp + x

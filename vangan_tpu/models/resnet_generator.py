@@ -54,11 +54,12 @@ class ResNetGenerator3D(nn.Module):
             x = to_nxcyz(x)  # metadata-only for C == 1
 
         # Stem: 7^3 conv + IN(he_normal gamma) + relu + spatial dropout
-        x = ConvND(filters, 7, 1, padding=((3, 3),) * 3, pad_mode="reflect",
+        x = ConvND(filters, 7, 1, padding=((3, 3),) * (x.ndim - 2), pad_mode="reflect",
                    use_bias=False, layout=lt, dtype=self.dtype, name="stem_conv")(x)
         x = InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
                          dtype=self.dtype, name="stem_inorm")(x)
-        x = spatial_dropout(self.stem_dropout, name="stem_dropout", layout=lt)(
+        x = spatial_dropout(self.stem_dropout, n_spatial=x.ndim - 2,
+                            name="stem_dropout", layout=lt)(
             x, deterministic=not train
         )
 
@@ -66,11 +67,12 @@ class ResNetGenerator3D(nn.Module):
         # reflect-pad, IN, relu, spatial dropout 0.2)
         for i in range(self.num_downsampling_blocks):
             filters *= 2
-            x = ConvND(filters, 3, 2, padding=((1, 1),) * 3, pad_mode="reflect",
+            x = ConvND(filters, 3, 2, padding=((1, 1),) * (x.ndim - 2), pad_mode="reflect",
                        use_bias=False, layout=lt, dtype=self.dtype, name=f"down{i}")(x)
             x = InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
                              dtype=self.dtype, name=f"down_inorm{i}")(x)
-            x = spatial_dropout(self.downsample_dropout, name=f"down_dropout{i}", layout=lt)(
+            x = spatial_dropout(self.downsample_dropout, n_spatial=x.ndim - 2,
+                                name=f"down_dropout{i}", layout=lt)(
                 x, deterministic=not train
             )
 
@@ -88,7 +90,7 @@ class ResNetGenerator3D(nn.Module):
                              dtype=self.dtype, name=f"up_inorm{i}")(x)
 
         # Head: 7^3 conv + tanh
-        x = ConvND(1, 7, 1, padding=((3, 3),) * 3, pad_mode="reflect", use_bias=True,
+        x = ConvND(1, 7, 1, padding=((3, 3),) * (x.ndim - 2), pad_mode="reflect", use_bias=True,
                    layout=lt, dtype=self.dtype, name="head")(x)
         if lt == "NXCYZ":
             x = to_nxyzc(x)  # metadata-only

@@ -95,8 +95,8 @@ class ResUNet3D(nn.Module):
                 xl = to_nxyzc(x) if lt == "NXCYZ" else x
                 xl = nn.ConvTranspose(
                     features=f[d + 1],
-                    kernel_size=(2, 2, 2),
-                    strides=(2, 2, 2),
+                    kernel_size=(2,) * (xl.ndim - 2),
+                    strides=(2,) * (xl.ndim - 2),
                     padding="VALID",
                     kernel_init=he_normal(),
                     dtype=self.dtype,

@@ -57,7 +57,7 @@ class VNetConvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i in range(2):
             x = ConvND(
-                self.filters, 3, 1, padding=((1, 1),) * 3, pad_mode="reflect",
+                self.filters, 3, 1, padding=((1, 1),) * (x.ndim - 2), pad_mode="reflect",
                 use_bias=not self.use_batch_norm, layout=self.layout, dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
@@ -142,7 +142,8 @@ class VNet3D(nn.Module):
             if self.upsample_mode == "deconv":
                 xl = to_nxyzc(x) if lt == "NXCYZ" else x
                 xl = nn.ConvTranspose(
-                    features=filters, kernel_size=(2, 2, 2), strides=(2, 2, 2), padding="SAME",
+                    features=filters, kernel_size=(2,) * (xl.ndim - 2),
+                    strides=(2,) * (xl.ndim - 2), padding="SAME",
                     dtype=self.dtype, param_dtype=jnp.float32, name=f"deconv{i}",
                 )(xl)
                 x = to_nxcyz(xl) if lt == "NXCYZ" else xl

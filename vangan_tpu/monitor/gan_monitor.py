@@ -113,9 +113,30 @@ class GanMonitor:
             sample[0], prediction[0], cycled[0], identity[0]
         )
 
-        fig, ax = plt.subplots(nfig + 1, 4, figsize=(12, 12))
         panels = (sample, prediction, cycled, identity)
         titles = ("Input image", "Translated image", "Cycled image", "Identity image")
+        if sample.ndim == 3:
+            # DIMENSIONS=2: one image row + histogram row (the reference's
+            # nfig=1 2-D convention, dataset.py:293-300)
+            nfig = 1
+            fig, ax = plt.subplots(2, 4, figsize=(12, 6))
+            for c, (arr, title) in enumerate(zip(panels, titles)):
+                ax[0, c].imshow(arr[:, :, 0], cmap="gray")
+                ax[0, c].set_title(title)
+                ax[0, c].axis("off")
+                ax[1, c].hist(arr.ravel(), bins=256, range=(arr.min(), arr.max()),
+                              fc="k", ec="k", density=True)
+            fig.savefig(os.path.join(self.monitor_dir, f"{epoch + 1}_{filename}.png"), dpi=150)
+            plt.close(fig)
+            if epoch % self.period3D == 1 and outputFull and epoch > 160:
+                stitch_subvolumes(
+                    genX, sample_full, self.imgSize, epoch=epoch, name=sample_name,
+                    process_img=process_img, model_path=self.model_path,
+                    batch_size=self.cfg.stitcher_batch,
+                )
+            return
+
+        fig, ax = plt.subplots(nfig + 1, 4, figsize=(12, 12))
         depth = sample.shape[2]
         for j in range(nfig):
             z = j * int(depth / nfig)

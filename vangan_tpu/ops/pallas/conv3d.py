@@ -100,9 +100,9 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _norm_stride(stride) -> Tuple[int, int, int]:
+def _norm_stride(stride, n_spatial: int = 3) -> Tuple[int, ...]:
     if isinstance(stride, int):
-        return (stride,) * 3
+        return (stride,) * n_spatial
     return tuple(stride)
 
 
@@ -119,7 +119,7 @@ def _norm_padding(padding, k, stride, dims=None) -> Pad3:
     if isinstance(padding, str):
         p = padding.lower()
         if p == "valid":
-            return ((0, 0),) * 3
+            return ((0, 0),) * len(k)
         if p == "same":
             pads = []
             for ax, (kk, ss) in enumerate(zip(k, stride)):

@@ -53,14 +53,17 @@ def _shift_blur_axis(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray
 
 
 def _blur3d(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
-    """Separable 3-D blur of a (B, X, Y, Z, C) tensor with zero 'SAME' padding.
+    """Separable N-D blur of a channels-last tensor with zero 'SAME' padding.
 
     Implemented as shifted adds per axis (identical math to the reference's
-    dense conv3d, loss_functions.py:100-108): 3 taps x 3 axes of elementwise
-    work; trailing C=1 is squeezed so the minor dim stays lane-sized."""
+    dense conv3d, loss_functions.py:100-108): 3 taps x N axes of elementwise
+    work; trailing C=1 is squeezed so the minor dim stays lane-sized. Handles
+    5-D (B, X, Y, Z, C) volumes and 4-D (B, H, W, C) images (DIMENSIONS=2 —
+    the reference's 2-D mode would crash here, its SSIM is conv3d-only)."""
     squeeze = x.shape[-1] == 1
     v = x[..., 0] if squeeze else x
-    for axis in range(1, 4):  # spatial dims of (B, X, Y, Z[, C])
+    n_spatial = x.ndim - 2
+    for axis in range(1, 1 + n_spatial):
         v = _shift_blur_axis(v, taps, axis)
     return v[..., None] if squeeze else v
 
