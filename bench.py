@@ -183,6 +183,11 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
         # batch 3's monolithic module OOMs the remote compile helper; the
         # split step (three modules, state-identical math) compiles
         backward_mode="split" if batch_per_chip >= 3 else "two_phase",
+        # at batch 1 all ten network applications' activations fit in HBM:
+        # skipping the per-network remat removes the backward's forward
+        # recompute — measured 840 -> 623 ms (1.19 -> 1.61 patches/s/chip,
+        # 2026-08-17); batch >= 2 needs the remat to fit
+        remat=batch_per_chip >= 2,
         output_dir="/tmp/vg_bench",
     )
     models = {
