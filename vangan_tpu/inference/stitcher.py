@@ -197,13 +197,20 @@ def _device_stitch_fn_sharded(k: Tuple[int, int, int], trims: Tuple[int, int, in
 
 
 @functools.lru_cache(maxsize=None)
-def _device_divide_sum_fn():
+def _device_divide_sum_fn(crop: tuple):
     import jax
     import jax.numpy as jnp
 
-    # sum the per-device partial accumulators, then 0/0 -> NaN divide
-    return jax.jit(lambda p, c: jnp.true_divide(p.sum(0), c.sum(0)),
-                   donate_argnums=(0, 1))
+    (x0, xs), (y0, ys), (z0, zs) = crop
+
+    # sum the per-device partial accumulators, 0/0 -> NaN divide, and crop
+    # the padding margin on device (the ~20 MB/s tunnel never sees it)
+    def f(p, c):
+        p = p.sum(0)[x0 : x0 + xs, y0 : y0 + ys, z0 : z0 + zs]
+        c = c.sum(0)[x0 : x0 + xs, y0 : y0 + ys, z0 : z0 + zs]
+        return jnp.true_divide(p, c)
+
+    return jax.jit(f, donate_argnums=(0, 1))
 
 
 import itertools as _itertools
@@ -242,9 +249,28 @@ def _device_divide_fn():
     return jax.jit(jnp.true_divide, donate_argnums=(0, 1))
 
 
+@functools.lru_cache(maxsize=None)
+def _finalize_fn(crop_yz: tuple, band: int, c: int):
+    """Jitted divide + crop of one x-band: static (band, ys, zs) slice at a
+    traced x offset. 0/0 -> NaN matches np.true_divide (never-covered voxels
+    exist only inside the padding margin, which the crop removes)."""
+    import jax
+    import jax.numpy as jnp
+
+    (y0, ys), (z0, zs) = crop_yz
+
+    def f(pred, count, x0):
+        p = jax.lax.dynamic_slice(pred, (x0, y0, z0, 0), (band, ys, zs, c))
+        q = jax.lax.dynamic_slice(count, (x0, y0, z0, 0), (band, ys, zs, c))
+        return jnp.true_divide(p, q)
+
+    return jax.jit(f)
+
+
 def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gaussian,
                    steps_per_call: int = 24, max_chunks: Optional[int] = None,
-                   mesh=None, mesh_axis: str = "data"):
+                   mesh=None, mesh_axis: str = "data",
+                   crop: Optional[tuple] = None):
     # steps_per_call budget arithmetic: the axon TPU worker watchdog kills a
     # single XLA program after ~2 minutes (observed at 600^3, round 2). One
     # scan step = one generator batch ~= batch x ~50 ms for the f=16 ResU-Net
@@ -266,6 +292,17 @@ def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gau
     With ``mesh`` (a >1-device jax.sharding.Mesh), each chunk's patch batch
     is additionally split over the mesh: per-device private accumulators,
     one cross-device sum at division time.
+
+    ``crop`` (((x0, xs), (y0, ys), (z0, zs)), padded coords) is divided,
+    sliced and returned — the padding margin never crosses the wire. On the
+    single-device path the cropped output is additionally **streamed out in
+    x-bands overlapped with the remaining chunks' compute**: origins walk
+    x-major, so once every remaining origin has x0 >= band end the band is
+    final and a worker thread downloads it while later chunks run. The
+    tunnelled d2h link moves ~20 MB/s (measured 2026-08-17) — the round-3
+    bench spent 94 s of its 157 s downloading the full padded 720^3 f32
+    volume after compute finished; banding hides (most of) that under the
+    63 s of compute.
     """
     import jax.numpy as jnp
 
@@ -282,19 +319,75 @@ def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gau
     chunk_starts = range(0, n_pad, per_call)
     if max_chunks is not None:
         chunk_starts = list(chunk_starts)[:max_chunks]
+    if crop is None:
+        crop = tuple((0, s) for s in img.shape[:3])
+    (x0c, xs), crop_yz = crop[0], (crop[1], crop[2])
+    (y0c, ys), (z0c, zs) = crop_yz
+    c = img.shape[-1]
 
     if n_dev == 1:
+        import queue as _queue
+        import threading
+
         fn = _device_stitch_fn(tuple(k), tuple(trims), batch, process_img, gaussian,
                                token)
         img_d = jnp.asarray(img)
         pred = jnp.zeros(img_d.shape, jnp.float32)
         count = jnp.zeros(img_d.shape, jnp.float32)
+
+        band = min(64, xs)
+        n_full, rem = divmod(xs, band)
+        bands = [(i * band, band) for i in range(n_full)]
+        if rem:
+            bands.append((n_full * band, rem))
+
+        results: dict = {}
+        errs: list = []
+        q: _queue.Queue = _queue.Queue()
+
+        def worker():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                try:
+                    results[item[0]] = np.asarray(item[1], np.float32)
+                except Exception as e:  # surfaced after join
+                    errs.append(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        emitted = 0
+
+        def emit(frontier, pred, count):
+            nonlocal emitted
+            while emitted < len(bands):
+                bx, bs = bands[emitted]
+                if x0c + bx + bs > frontier:
+                    return
+                fin = _finalize_fn(crop_yz, bs, c)
+                q.put((emitted, fin(pred, count, np.int32(x0c + bx))))
+                emitted += 1
+
         for c0 in chunk_starts:
             o_chunk = origins_arr[c0 : c0 + per_call].reshape(steps_per_call, batch, 3)
             v_chunk = valid[c0 : c0 + per_call].reshape(steps_per_call, batch)
             pred, count = fn(pred, count, variables, img_d,
                              jnp.asarray(o_chunk), jnp.asarray(v_chunk))
-        return np.asarray(_device_divide_fn()(pred, count), np.float32)
+            nxt = c0 + per_call
+            # finalized frontier: every remaining REAL origin starts at or
+            # beyond origins[nxt][0] (x-major walk; pad entries are inert)
+            if nxt < n:
+                emit(origins[nxt][0], pred, count)
+        emit(10**9, pred, count)  # everything left (also the warm-up path)
+        q.put(None)
+        t.join()
+        if errs:
+            raise errs[0]
+        out = np.empty((xs, ys, zs, c), np.float32)
+        for idx, (bx, bs) in enumerate(bands):
+            out[bx : bx + bs] = results[idx]
+        return out
 
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -313,7 +406,7 @@ def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gau
         pred, count = fn(pred, count, variables, img_d,
                          jax.device_put(jnp.asarray(o_chunk), shard),
                          jax.device_put(jnp.asarray(v_chunk), shard))
-    return np.asarray(_device_divide_sum_fn()(pred, count), np.float32)
+    return np.asarray(_device_divide_sum_fn(crop)(pred, count), np.float32)
 
 
 def _round_to(v: int, m: int) -> int:
@@ -438,13 +531,19 @@ def stitch_subvolumes(
         print(f"\tStride pixel length (X,Y,Z): {tuple(stride)}")
         print(f"\tNo. of patches: {len(origins)}")
 
+    device_cropped = False
     if device_apply is not None:
         gauss = blend == "gaussian"
+        # crop window (padded coords): the device path divides, crops and
+        # downloads ONLY this region (zspacing is 0 when z was not padded)
+        crop = ((xspacing, oimgshape[0]), (yspacing, oimgshape[1]),
+                (zspacing, oimgshape[2]))
         pred = _stitch_device(
             device_apply, img, origins, (kH, kW, kD),
             (0, 0, 0) if gauss else (pH, pW, pD), batch_size, process_img, gauss,
-            max_chunks=max_chunks, mesh=mesh, mesh_axis=mesh_axis,
+            max_chunks=max_chunks, mesh=mesh, mesh_axis=mesh_axis, crop=crop,
         )
+        device_cropped = True
     else:
         pix_tracker = np.zeros([H, W, D, C], dtype="float32")
         pred = np.zeros(img.shape, dtype="float32")
@@ -478,7 +577,7 @@ def stitch_subvolumes(
         with np.errstate(invalid="ignore", divide="ignore"):
             pred = np.true_divide(pred, pix_tracker)
 
-    if complete:
+    if complete and not device_cropped:
         if stride[2] == 1:
             pred = pred[xspacing : oimgshape[0] + xspacing, yspacing : oimgshape[1] + yspacing]
         else:
