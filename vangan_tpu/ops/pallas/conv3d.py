@@ -46,6 +46,7 @@ encoders (resunet_model.py:103-143), 4^3 PatchGAN convs (discriminator.py:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -220,8 +221,6 @@ def _safe_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _db_enabled() -> bool:
     """Slab double-buffering kill-switch (on by default, round 3)."""
-    import os
-
     return os.environ.get("VANGAN_CONV_DB", "1") != "0"
 
 
@@ -438,8 +437,11 @@ def _fwd_kernel(
     # of kz separate (Co, K) dots — the MXU M axis fills kz x better (Co=16
     # 3^3 convs: M 16 -> 48; the M under-fill is the measured ceiling,
     # ROADMAP P0.5). Row-sliced per dz afterwards (sublane-aligned for
-    # co % 8 == 0; smaller co keeps the per-dz path).
-    stacked = co % 8 == 0 and kz_ > 1
+    # co % 8 == 0; smaller co keeps the per-dz path). VANGAN_CONV_STACK=0
+    # disables it for A/B bisection (the enc1 stride-2 bwd regressed 12.1 ->
+    # 16.7 ms when stacking + double-buffering landed together, PERF.md).
+    stacked = (co % 8 == 0 and kz_ > 1
+               and os.environ.get("VANGAN_CONV_STACK", "1") != "0")
 
     def body(xo, _):
         p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
@@ -522,8 +524,6 @@ def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False):
     """(xb, yb): bigger y blocks amortise per-block DMA latency (measured 21%
     at yb=16 on the 16ch 128^3 conv; no further gain at 32) unless they starve
     the x block below 4."""
-    import os
-
     # default 8: yb=16 kernels are ~20% faster standalone but their larger
     # Mosaic compile footprint OOMs the remote compile helper when the full
     # train-step module (~40 kernels) compiles in one process. Budget
