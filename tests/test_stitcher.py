@@ -192,6 +192,19 @@ class TestDeviceStitcher:
         dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
         np.testing.assert_allclose(dev, ref, atol=2e-3)
 
+    def test_device_multiband_streaming_matches_host(self, rng):
+        """Output x > 64 exercises the banded finalise/download path: multiple
+        full 64-bands plus a remainder band, emitted as the x-major origin
+        walk passes each band's frontier."""
+        host_gen, device_apply = self._toy_gen()
+        img = rng.normal(size=(150, 16, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 8, 8), complete=True,
+                  padFactor=0.1, save=False, batch_size=4)
+        ref = stitch_subvolumes(host_gen, img, **kw)
+        dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
+        assert dev.shape == ref.shape == img.shape  # 150 = 2x64 + 22 bands
+        np.testing.assert_allclose(dev, ref, atol=2e-3)
+
     def test_device_matches_host_process_img(self, rng):
         host_gen, device_apply = self._toy_gen()
         img = (rng.normal(size=(16, 16, 16, 1)) * 30 + 100).astype(np.float32)
