@@ -254,10 +254,19 @@ def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref, c1_ref, c2_ref
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
-def _grid_call(kernel, x, extras, out_shape, budget: int = _DEFAULT_BUDGET):
+def _grid_call(kernel, x, extras, out_shape, budget: int = _DEFAULT_BUDGET,
+               parallel: bool = False):
     """Common (b, x-block, y-block) grid plumbing. ``extras`` are per-(b, C)
     f32 arrays passed as (1, C, 1) blocks; stats outputs accumulate at a
-    constant index across the sequential grid."""
+    constant index across the sequential grid.
+
+    ``parallel=True`` marks every grid dim "parallel" — valid ONLY for
+    kernels with no cross-step state (apply / dx): Mosaic may then overlap
+    each step's block DMA with other steps' compute instead of serialising
+    the whole grid, which matters at the small (256 KB) blocks the
+    scoped-vmem ceiling forces (~512 steps x ~7 us fixed cost measured on
+    the sequential grid). Stats/reduce kernels accumulate at a constant
+    output index and MUST stay "arbitrary"."""
     bsz, xdim, c, y, z = x.shape
     xb, yb = _plan_blocks(xdim, c, y, z, x.dtype.itemsize, budget)
     vol_spec = pl.BlockSpec((1, xb, c, yb, z),
@@ -286,7 +295,7 @@ def _grid_call(kernel, x, extras, out_shape, budget: int = _DEFAULT_BUDGET):
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * 3,
+            dimension_semantics=(("parallel",) if parallel else ("arbitrary",)) * 3,
         ),
         interpret=_INTERPRET,
     )(x, *inputs)
@@ -340,6 +349,7 @@ def _fwd_impl(x, gamma, beta, eps, act, alpha):
     y = _grid_call(
         functools.partial(_apply_kernel, act=act, alpha=alpha),
         x, [a, b], [jax.ShapeDtypeStruct(x.shape, x.dtype)],
+        parallel=True,  # pure map: no cross-step state
     )
     return y, (mean, inv, a, b)
 
@@ -370,6 +380,7 @@ def _vjp_bwd(eps, act, alpha, residuals, g):
         x, [g, a, b, mean, inv, sum_gp / n, sum_xg / n],
         [jax.ShapeDtypeStruct(x.shape, x.dtype)],
         budget=256 * 1024,
+        parallel=True,  # pure map: no cross-step state
     )
     dgamma = jnp.sum(sum_xg, axis=0)
     dbeta = jnp.sum(sum_gp, axis=0)
