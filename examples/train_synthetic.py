@@ -45,13 +45,39 @@ def make_tube_volume(rng: np.random.Generator, shape=(96, 96, 64), n_tubes=12):
     return img.astype(np.float32), (2.0 * seg - 1.0).astype(np.float32)
 
 
+def make_tube_image(rng: np.random.Generator, shape=(96, 96), n_tubes=12):
+    """2-D analog of make_tube_volume: random line segments with radius
+    (the DIMENSIONS=2 demo input — the reference declares this mode but its
+    Conv3D-only models cannot run it; ours does, docs/PARITY.md #5)."""
+    seg = np.zeros(shape, dtype=np.float32)
+    xs = np.arange(shape[0])[:, None]
+    ys = np.arange(shape[1])[None, :]
+    for _ in range(n_tubes):
+        p0 = rng.uniform(0, 1, 2) * np.asarray(shape)
+        d = rng.normal(size=2)
+        d /= np.linalg.norm(d)
+        radius = rng.uniform(1.5, 4.0)
+        px, py = xs - p0[0], ys - p0[1]
+        t = px * d[0] + py * d[1]
+        dx, dy = px - t * d[0], py - t * d[1]
+        seg = np.maximum(seg, (dx**2 + dy**2 < radius**2).astype(np.float32))
+    img = seg.copy()
+    for axis in range(2):
+        img = (np.roll(img, 1, axis) + img + np.roll(img, -1, axis)) / 3.0
+    img = img + 0.25 * rng.normal(size=shape).astype(np.float32)
+    img = img + np.linspace(0, 0.3, shape[1], dtype=np.float32)[None, :]
+    return img.astype(np.float32), (2.0 * seg - 1.0).astype(np.float32)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--patch", type=int, default=32)
     ap.add_argument("--volumes", type=int, default=8)
-    ap.add_argument("--vol-shape", type=int, nargs=3, default=(96, 96, 64),
-                    help="synthetic volume size (x y z)")
+    ap.add_argument("--dims", type=int, choices=[2, 3], default=3,
+                    help="2: train on 2-D images (DIMENSIONS=2 mode)")
+    ap.add_argument("--vol-shape", type=int, nargs="+", default=(96, 96, 64),
+                    help="synthetic volume size (x y z; x y for --dims 2)")
     ap.add_argument("--tubes", type=int, default=12)
     ap.add_argument("--filters", type=int, default=8)
     ap.add_argument("--disc-filters", type=int, default=16)
@@ -83,6 +109,11 @@ def main() -> None:
 
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the host sitecustomize force-registers the TPU platform with
+        # JAX_PLATFORMS already read; honour an explicit CPU request
+        jax.config.update("jax_platforms", "cpu")
+
     from vangan_tpu.config import VanGanConfig, save_args
     from vangan_tpu.data.pipeline import VanGanDataset
     from vangan_tpu.inference import run_mapping
@@ -96,13 +127,15 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
 
     print("*** Generating synthetic dataset ***")
+    make = make_tube_volume if args.dims == 3 else make_tube_image
+    vshape = tuple(args.vol_shape)[: args.dims]
     img_paths, seg_paths, truths = [], [], {}
     for d in ("imgA", "segB"):
         os.makedirs(os.path.join(data_dir, d), exist_ok=True)
     for i in range(args.volumes):
-        img, seg = make_tube_volume(rng, shape=tuple(args.vol_shape), n_tubes=args.tubes)
+        img, seg = make(rng, shape=vshape, n_tubes=args.tubes)
         # unpaired: imaging volumes and segmentation volumes from separate draws
-        img2, seg2 = make_tube_volume(rng, shape=tuple(args.vol_shape), n_tubes=args.tubes)
+        img2, seg2 = make(rng, shape=vshape, n_tubes=args.tubes)
         ip = os.path.join(data_dir, "imgA", f"v{i}.npy")
         sp = os.path.join(data_dir, "segB", f"v{i}.npy")
         np.save(ip, img[..., None])
@@ -129,6 +162,7 @@ def main() -> None:
         N_DEVICES=n_dev,
         BATCH_SIZE=1,
         EPOCHS=args.epochs,
+        DIMENSIONS=args.dims,
         SUBVOL_PATCH_SIZE=(args.patch,) * 3,
         gen_filters=args.filters,
         disc_filters=args.disc_filters,
@@ -165,7 +199,7 @@ def main() -> None:
     pred_dir = os.path.join(args.out, "predictions")
     os.makedirs(pred_dir, exist_ok=True)
     run_mapping(
-        gan, imaging_partition["testing"], (1, args.patch, args.patch, args.patch, 1),
+        gan, imaging_partition["testing"], cfg.INPUT_IMG_SIZE,
         segmentation=True, stride=(args.patch // 2,) * 3, filetext="VANGAN_",
         filepath=pred_dir,
     )
@@ -175,7 +209,10 @@ def main() -> None:
     for ip in imaging_partition["testing"]:
         name = os.path.splitext(os.path.basename(ip))[0]
         pred = read_tiff(os.path.join(pred_dir, f"VANGAN_{name}.tiff"))
-        pred = np.transpose(pred, (1, 2, 0, 3))[..., 0]  # (z,x,y,c) -> (x,y,z)
+        if args.dims == 3:
+            pred = np.transpose(pred, (1, 2, 0, 3))[..., 0]  # (z,x,y,c) -> (x,y,z)
+        else:
+            pred = pred[..., 0]  # (h, w, c) image
         scores = evaluate_segmentation(pred, truths[ip], iters=args.cldice_iters)
         all_scores.append((name, scores))
         print(f"{name}: dice={scores['dice']:.3f} cldice={scores['cldice']:.3f}")

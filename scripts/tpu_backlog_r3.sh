@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-3 TPU measurement backlog — run once the axon tunnel is back.
+# One job at a time (tpu-session-discipline); each stage logs to /tmp.
+set -x
+cd /root/repo
+
+# 1. IN kernel timing with parallel grid semantics (one-line lever)
+timeout 1200 python scripts/microbench_conv.py --norm > /tmp/r3_norm_parallel.log 2>&1
+
+# 2. per-launch fixed cost (decides the next perf lever, ROADMAP P0.3)
+timeout 1800 python scripts/microbench_launch.py > /tmp/r3_launch.log 2>&1
+
+# 3. enc1 stride-2 bwd bisection
+timeout 1200 python scripts/microbench_conv.py > /tmp/r3_conv_base.log 2>&1
+VANGAN_CONV_STACK=0 timeout 1200 python scripts/microbench_conv.py > /tmp/r3_conv_nostack.log 2>&1
+VANGAN_CONV_DB=0 timeout 1200 python scripts/microbench_conv.py > /tmp/r3_conv_nodb.log 2>&1
+
+# 4. banded-stitcher inference number
+timeout 2400 python bench.py --inference > /tmp/r3_inference.log 2>&1
+
+# 5. accuracy regeneration (VERDICT item 8; ~40 min)
+timeout 5400 python examples/train_synthetic.py --preset results \
+    --out /tmp/vg_results_r3 > /tmp/r3_results.log 2>&1
+
+# 6. full bench re-record (selftest + batch 1/3 + inference)
+python bench.py > /tmp/r3_bench_final.log 2>&1
+
+echo "BACKLOG DONE rc=$?"

@@ -26,13 +26,17 @@ def dice_coefficient(y_true: np.ndarray, y_pred: np.ndarray, smooth: float = 1.0
 
 
 def _skeletonize(binary: np.ndarray, iters: int = 15) -> np.ndarray:
-    """Morphological skeleton via the (jitted) soft-skeleton on binary input."""
-    v = jnp.asarray(binary, jnp.float32)[None, ..., None] if binary.ndim == 3 else jnp.asarray(
-        binary, jnp.float32
-    )
-    out = jax.jit(lambda a: soft_skel(a, iters))(v)
-    out = np.asarray(out)
-    return out[0, ..., 0] if binary.ndim == 3 else out
+    """Morphological skeleton via the (jitted) soft-skeleton on binary input.
+
+    Accepts bare 3-D volumes or 2-D images (wrapped to the batched
+    channels-last rank the morphology ops dispatch on) as well as
+    already-batched rank-4/5 tensors."""
+    wrap = binary.ndim in (2, 3)
+    v = jnp.asarray(binary, jnp.float32)
+    if wrap:
+        v = v[None, ..., None]
+    out = np.asarray(jax.jit(lambda a: soft_skel(a, iters))(v))
+    return out[0, ..., 0] if wrap else out
 
 
 def cldice_metric(
