@@ -192,10 +192,12 @@ def _bcast_c(ref_slice, shape3, dtype=None):
     c, y, z = shape3
     v = ref_slice.astype(jnp.float32)  # (c, 1)
     cz = jax.lax.dot(v, jnp.ones((1, z), jnp.float32))  # (c, z)
-    out = jnp.broadcast_to(cz.reshape(c, 1, z), (c, y, z))
     if dtype is not None:
-        out = out.astype(dtype)
-    return out
+        # cast BEFORE the sublane broadcast: the (c, y, z) temporary then
+        # lives in the compute dtype, halving the Mosaic stack contribution
+        # of each broadcast constant (2 per apply kernel)
+        cz = cz.astype(dtype)
+    return jnp.broadcast_to(cz.reshape(c, 1, z), (c, y, z))
 
 
 def _apply_kernel(x_ref, a_ref, b_ref, y_ref, *, act: str, alpha: float):
