@@ -116,7 +116,12 @@ def find_tpu_suspects() -> list:
             continue
         if "python" not in cmd:
             continue
-        if re.search(r"vangan|bench\.py|pytest|jax|train_synthetic|__graft_entry__", cmd):
+        # anchored tokens only: a bare 'jax' substring matched any python
+        # process with 'jax' in a path or args (e.g. 'pip install jax') and
+        # got it killed (review r3); this repo's TPU holders always match one
+        # of these
+        if re.search(r"vangan|bench\.py|pytest|/root/repo|train_synthetic|__graft_entry__",
+                     cmd):
             suspects.append((pid, age, cmd))
     return suspects
 

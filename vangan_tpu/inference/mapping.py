@@ -65,6 +65,7 @@ def run_mapping(
             blend=blend,
             device_apply=device_apply,
             mesh=mesh,
+            mesh_axis=getattr(vangan.cfg, "mesh_axis", "data"),
         )
 
 

@@ -377,16 +377,30 @@ def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gau
             nxt = c0 + per_call
             # finalized frontier: every remaining REAL origin starts at or
             # beyond origins[nxt][0] (x-major walk; pad entries are inert)
-            if nxt < n:
+            if max_chunks is None and nxt < n:
                 emit(origins[nxt][0], pred, count)
-        emit(10**9, pred, count)  # everything left (also the warm-up path)
+        if max_chunks is None:
+            emit(10**9, pred, count)  # everything left
+        else:
+            # warm-up: compile + download ONE band of each distinct shape
+            # (first full band, ragged remainder) instead of the whole
+            # cropped volume — the finalize jits are shape-keyed, so this
+            # warms every program the real run uses without paying the full
+            # ~40 s d2h pass the warm-up exists to avoid.
+            seen = set()
+            for idx, (bx, bs) in enumerate(bands):
+                if bs not in seen:
+                    seen.add(bs)
+                    fin = _finalize_fn(crop_yz, bs, c)
+                    q.put((idx, fin(pred, count, np.int32(x0c + bx))))
         q.put(None)
         t.join()
         if errs:
             raise errs[0]
-        out = np.empty((xs, ys, zs, c), np.float32)
-        for idx, (bx, bs) in enumerate(bands):
-            out[bx : bx + bs] = results[idx]
+        out = np.zeros((xs, ys, zs, c), np.float32)
+        for idx, arr in results.items():
+            bx, bs = bands[idx]
+            out[bx : bx + bs] = arr
         return out
 
     import jax

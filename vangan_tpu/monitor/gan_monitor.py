@@ -118,7 +118,6 @@ class GanMonitor:
         if sample.ndim == 3:
             # DIMENSIONS=2: one image row + histogram row (the reference's
             # nfig=1 2-D convention, dataset.py:293-300)
-            nfig = 1
             fig, ax = plt.subplots(2, 4, figsize=(12, 6))
             for c, (arr, title) in enumerate(zip(panels, titles)):
                 ax[0, c].imshow(arr[:, :, 0], cmap="gray")

@@ -740,8 +740,11 @@ def _wgrad_kernel(
     slot = _slab_pipeline(x_vmem, sem, mk, db)
 
     kz_ = k[2]
-    # see _fwd_kernel: one (kz*Co)-row A@B^T instead of kz (Co)-row dots
-    stacked = co % 8 == 0 and kz_ > 1
+    # see _fwd_kernel: one (kz*Co)-row A@B^T instead of kz (Co)-row dots;
+    # honours the same VANGAN_CONV_STACK=0 A/B switch (the bwd regression
+    # being bisected lives in wgrad/dgrad, so the kill switch must cover it)
+    stacked = (co % 8 == 0 and kz_ > 1
+               and os.environ.get("VANGAN_CONV_STACK", "1") != "0")
 
     def _contract(gd, pp):
         # (M, yb*Zin) x (kx*ky*Ci, yb*Zin)^T -> (M, kx*ky*Ci). Degenerate

@@ -319,9 +319,21 @@ def instance_norm_act_supported(shape, layout: str) -> bool:
     """Kernels handle 2 <= C < 128 on the NXCYZ layout: C=1 trips Mosaic's
     'Unsupported output implicit dimension' (singleton-dim lowering, measured
     2026-08-17 — no model config has a C=1 InstanceNorm); C >= 128 levels
-    tile well in XLA already."""
-    return (_active() and layout == "NXCYZ" and len(shape) == 5
-            and 2 <= shape[2] < 128)
+    tile well in XLA already. The block plan must also tile the shape
+    exactly — a non-dividing y-block would silently skip the tail rows
+    (stats short, apply/dx garbage), so such shapes take the jnp fallback."""
+    if not (_active() and layout == "NXCYZ" and len(shape) == 5
+            and 2 <= shape[2] < 128):
+        return False
+    bsz, xdim, c, y, z = shape
+    for itemsize in (2, 4):  # fwd runs compute dtype; bwd blocks are planned
+        xb, yb = _plan_blocks(xdim, c, y, z, itemsize)
+        if xdim % xb or y % yb:
+            return False
+        xb, yb = _plan_blocks(xdim, c, y, z, itemsize, budget=256 * 1024)
+        if xdim % xb or y % yb:
+            return False
+    return True
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
