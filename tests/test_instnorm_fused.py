@@ -83,6 +83,21 @@ class TestFusedInstanceNorm:
 
 
 @pytest.mark.quick
+def test_supported_rejects_non_tiling_shapes():
+    """A y the planner cannot divide exactly must fall back to jnp — a
+    non-dividing y-block would silently skip the tail rows (short stats,
+    uninitialised apply/dx output). Review r3 finding."""
+    from vangan_tpu.ops.pallas import instnorm as m
+
+    with m.force_interpret():
+        assert not m.instance_norm_act_supported((1, 8, 64, 21, 128), "NXCYZ")
+        # the shapes the models actually run stay supported
+        assert m.instance_norm_act_supported((1, 128, 16, 128, 128), "NXCYZ")
+        assert m.instance_norm_act_supported((1, 32, 64, 32, 32), "NXCYZ")
+        assert m.instance_norm_act_supported((3, 16, 64, 16, 16), "NXCYZ")
+
+
+@pytest.mark.quick
 def test_plan_blocks_y_split():
     """Blocks never exceed the budget; the 256 KB default keeps the worst
     kernel stack (~16x block) plus XLA's in-module S(1) promotions under the
