@@ -164,3 +164,45 @@ def test_same_stride2_without_dims_asserts():
     """Size-free 'same' resolution with stride > 1 must fail loudly."""
     with pytest.raises(AssertionError):
         C._norm_padding("same", (3, 3, 3), (2, 2, 2))
+
+
+@pytest.mark.slow
+def test_random_config_fuzz():
+    """Seeded fuzz over the full supported config space (kernel sizes 1-4,
+    strides 1/2 per axis, asymmetric explicit pads, zero/reflect modes,
+    odd channel counts and spatial dims) — value + gradient parity vs the
+    XLA reference for every draw. Broader than the fixed matrix above; a
+    silent edge-case bug in tap slicing / select matrices / parity
+    decomposition shows up here first."""
+    master = np.random.default_rng(20260817)
+    for trial in range(20):
+        r = np.random.default_rng(master.integers(1 << 31))
+        k = tuple(int(r.integers(1, 5)) for _ in range(3))
+        stride = tuple(int(r.integers(1, 3)) for _ in range(3))
+        pad_mode = ["zeros", "reflect"][int(r.integers(0, 2))]
+        # reflect pads must stay inside the input; keep pads < min spatial dim
+        pads = tuple(
+            (int(r.integers(0, min(kk, 3))), int(r.integers(0, min(kk, 3))))
+            for kk in k
+        )
+        ci, co = int(r.integers(1, 6)), int(r.integers(1, 6))
+        X = int(r.integers(max(k[0], 4), 9))
+        Y = int(r.integers(max(k[1], 4), 11))
+        Z = int(r.integers(max(k[2], 5), 13))
+        # output dims must be >= 1
+        if any((d + lo + hi - kk) < 0 for d, (lo, hi), kk in zip((X, Y, Z), pads, k)):
+            continue
+        if pad_mode == "reflect" and any(
+            max(lo, hi) >= d for d, (lo, hi) in zip((X, Y, Z), pads)
+        ):
+            continue
+        try:
+            _check(r, k, stride, pads, pad_mode, ci=ci, co=co,
+                   bias_on=bool(r.integers(0, 2)), shape=(1, X, Y, Z))
+        except NotImplementedError:
+            continue  # out-of-scope corner (documented XLA fallback exists)
+        except AssertionError as e:
+            raise AssertionError(
+                f"fuzz trial {trial}: k={k} s={stride} pads={pads} "
+                f"mode={pad_mode} ci={ci} co={co} shape={(X, Y, Z)}"
+            ) from e
