@@ -370,6 +370,27 @@ def main() -> None:
     failures: list = []
     preflight()
 
+    # fast-fail when the TPU backend is unreachable (the axon tunnel daemon
+    # died mid-round on 2026-08-17 and jax.devices() then HANGS, not errors —
+    # without this gate every probe would burn its full 1 h timeout, ~7 h of
+    # hanging for a dead backend)
+    tb = None
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            capture_output=True, text=True, timeout=240, cwd=REPO,
+        )
+        if probe.returncode != 0:
+            tb = ("TPU backend probe failed (rc=%d) — tunnel/daemon down?\n"
+                  % probe.returncode) + extract_traceback(probe.stderr)
+    except subprocess.TimeoutExpired:
+        tb = "TPU backend probe HUNG for 240 s — tunnel/daemon down?"
+    if tb is not None:
+        sys.stderr.write(f"[bench] {tb}\n")
+        failures.append({"probe": "backend", "rc": -1, "traceback": tb})
+        _write_summary(None, None, failures)
+        raise SystemExit("bench aborted: TPU backend unreachable; see bench_logs/summary.json")
+
     dry_run = len(sys.argv) > 1 and sys.argv[1] == "--dry-run-failure"
     if dry_run:
         # prove the capture path: the injected failure must surface a REAL
