@@ -179,7 +179,7 @@ def _device_stitch_fn_sharded(k: Tuple[int, int, int], trims: Tuple[int, int, in
     runs its own patch stream into a private full-volume accumulator pair,
     summed once at division time — no per-chunk collectives)."""
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     chunk = _make_chunk_body(k, trims, batch, process_img, gaussian, apply_id)
