@@ -308,11 +308,11 @@ def run_selftest() -> int:
     return proc.returncode
 
 
-def _run_probe(args: list, tag: str, timeout: int = 3600):
+def _run_probe(args: list, tag: str, timeout: int = 3600, extra_env: dict = None):
     """One subprocess probe: full logs to bench_logs/, parsed JSON line or an
     extracted traceback back to the caller."""
     os.makedirs(LOG_DIR, exist_ok=True)
-    env = {**os.environ, "JAX_TRACEBACK_FILTERING": "off"}
+    env = {**os.environ, "JAX_TRACEBACK_FILTERING": "off", **(extra_env or {})}
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)] + args,
@@ -338,11 +338,12 @@ def _run_probe(args: list, tag: str, timeout: int = 3600):
     return None, rc, tb
 
 
-def _probe_with_retry(args: list, tag: str, failures: list, timeout: int = 3600):
+def _probe_with_retry(args: list, tag: str, failures: list, timeout: int = 3600,
+                      extra_env: dict = None):
     """Run a probe; on failure, re-preflight and retry ONCE (a transient
     compile-service hiccup or contention must not zero the round)."""
     for attempt in (1, 2):
-        result, rc, tb = _run_probe(args, f"{tag}.a{attempt}", timeout)
+        result, rc, tb = _run_probe(args, f"{tag}.a{attempt}", timeout, extra_env)
         if result is not None:
             return result
         sys.stderr.write(
@@ -408,10 +409,18 @@ def main() -> None:
 
     # probe both per-chip batch sizes (kernels are per-sample latency-bound
     # today, so batch 1 currently wins; batch 3 runs via the split step) and
-    # report the best; batch 2 skipped — never the winner
+    # report the best; batch 2 skipped — never the winner. The *_fp probes
+    # A/B the fused pre-act conv (VANGAN_FUSE_PREACT=1,
+    # ops/pallas/fused_preact.py): the flag is default-off until
+    # chip-validated, so the bench tries it as an EXTRA candidate — a Mosaic
+    # lowering failure just loses that probe, never the round.
     results = []
     for batch in (1, 3):
         r = _probe_with_retry(["--batch", str(batch)], f"batch{batch}", failures)
+        if r is not None:
+            results.append(r)
+        r = _probe_with_retry(["--batch", str(batch)], f"batch{batch}_fp", failures,
+                              extra_env={"VANGAN_FUSE_PREACT": "1"})
         if r is not None:
             results.append(r)
 

@@ -4,6 +4,14 @@
 set -x
 cd /root/repo
 
+# 0. fused pre-act conv chip gate (Mosaic lowering of the prologue —
+#    interpret-mode is proven; this is the hardware validation the
+#    VANGAN_FUSE_PREACT flag is waiting on) + step-level A/B
+VANGAN_TPU_TESTS=1 JAX_PLATFORMS= timeout 1800 python -m pytest \
+    tests/test_pallas_tpu.py -k FusedPreact -q > /tmp/r3_fp_gate.log 2>&1
+timeout 1800 python bench.py --batch 1 > /tmp/r3_fp_off.log 2>&1
+VANGAN_FUSE_PREACT=1 timeout 1800 python bench.py --batch 1 > /tmp/r3_fp_on.log 2>&1
+
 # 1. IN kernel timing with parallel grid semantics (one-line lever)
 timeout 1200 python scripts/microbench_conv.py --norm > /tmp/r3_norm_parallel.log 2>&1
 

@@ -16,6 +16,16 @@ from __future__ import annotations
 import argparse
 import os
 
+# Honor JAX_PLATFORMS=cpu BEFORE backend init: a sitecustomize may have
+# force-registered a remote TPU platform with the config already latched, in
+# which case the env var alone is ignored and a dead tunnel HANGS backend
+# init (tpu-session-discipline). The explicit config.update makes
+# `JAX_PLATFORMS=cpu python -m vangan_tpu ...` work everywhere.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from vangan_tpu.config import VanGanConfig, save_args

@@ -14,6 +14,7 @@ TPU-native re-derivations of the reference's Keras layers
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Union
 
 import flax.linen as nn
@@ -31,6 +32,16 @@ from vangan_tpu.ops.pallas.conv3d import (
     conv3d_cxyz_reference,
     pallas_active,
 )
+from vangan_tpu.ops.pallas.fused_preact import preact_conv, preact_conv_supported
+
+
+def fused_preact_enabled() -> bool:
+    """Pre-act blocks fold the InstanceNorm affine+act into the consumer
+    conv's slab prologue (ops/pallas/fused_preact.py) when enabled. Default
+    OFF until chip-validated (interpret-mode semantics are test-proven; a
+    Mosaic lowering failure only shows on hardware). Parameter trees are
+    IDENTICAL either way — the flag can flip between checkpoint save/load."""
+    return os.environ.get("VANGAN_FUSE_PREACT", "0") == "1"
 
 Dtype = Any
 
@@ -127,7 +138,27 @@ class ConvND(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        norm_prologue=None,
+        stats=None,
+        emit_stats: bool = False,
+        epi=None,
+    ):
+        # Chain-fusion surface (ops/pallas/fused_preact.py; NXCYZ 3-D only):
+        # - ``norm_prologue`` = (gamma, beta, act, alpha, eps): apply a full
+        #   InstanceNorm+activation before the conv — fused into the Pallas
+        #   conv's slab prologue when supported, identical unfused composition
+        #   otherwise.
+        # - ``stats`` = (mean, var): the prologue's InstanceNorm statistics,
+        #   emitted by the conv that produced ``x`` (chained) — must equal
+        #   stats(x); the fallback recomputes them (same math, same grads).
+        # - ``emit_stats``: also return this output's per-(B, C) f32
+        #   (mean, var) — returns (y, mean, var).
+        # - ``epi`` = (short, mean_s, var_s, gamma_s, beta_s): fold the
+        #   projected-shortcut InstanceNorm apply + residual add into the
+        #   store epilogue (y += IN(short), no activation).
         # Spatial rank is inferred from the input: 5-D volumes (the default)
         # or 4-D images (cfg.DIMENSIONS == 2 — genuine 2-D support, which the
         # reference half-declares but cannot run: its models are Conv3D-only,
@@ -165,6 +196,17 @@ class ConvND(nn.Module):
         )
         pads = _norm_padding(self.padding, k, stride, dims)
 
+        if norm_prologue is not None or emit_stats or epi is not None or stats is not None:
+            return self._norm_chain(
+                x, kernel, bias, k, stride, pads, n_sp,
+                norm_prologue, stats, emit_stats, epi,
+            )
+
+        return self._plain_conv(x, kernel, bias, k, stride, pads, n_sp)
+
+    def _plain_conv(self, x, kernel, bias, k, stride, pads, n_sp):
+        dtype = x.dtype
+        ci = x.shape[channel_axis(self.layout)]
         if n_sp == 2:
             if self.pad_mode == "reflect" and any(lo or hi for lo, hi in pads):
                 x = jnp.pad(x, ((0, 0), *pads, (0, 0)), mode="reflect")
@@ -200,6 +242,89 @@ class ConvND(nn.Module):
             y = y + bias.astype(dtype)
         return y
 
+    def _norm_chain(
+        self, x, kernel, bias, k, stride, pads, n_sp,
+        norm_prologue, stats, emit_stats, epi,
+    ):
+        """Chain-fusion dispatch: fully-fused Pallas ops when supported, a
+        semantics-identical unfused composition otherwise. The chain kwargs
+        are NXCYZ-3-D-only (the blocks gate on the layout before passing
+        them); ``norm_prologue`` alone also works on the fallback paths."""
+        from vangan_tpu.ops.pallas.fused_preact import (
+            chain_conv_supported,
+            conv_stats,
+            preact_conv_ext,
+            stats_op,
+        )
+
+        has_pro = norm_prologue is not None
+        chain_extra = emit_stats or epi is not None
+        if chain_extra or stats is not None:
+            assert self.layout == "NXCYZ" and n_sp == 3, (
+                "stats/emit_stats/epi are NXCYZ 3-D chain-fusion kwargs"
+            )
+        n_act, n_alpha, n_eps = ("none", 0.2, 1e-3)
+        if has_pro:
+            gamma, beta, n_act, n_alpha, n_eps = norm_prologue
+
+        on_pallas = (
+            n_sp == 3
+            and self.layout == "NXCYZ"
+            and x.shape[-1] >= self.min_pallas_z
+        )
+        if on_pallas and chain_conv_supported(
+            x.shape, k, stride, pads, self.pad_mode, n_act,
+            x.dtype.itemsize, co=self.features, pro=has_pro,
+            emit=emit_stats, epi=epi is not None,
+        ):
+            if has_pro:
+                if stats is None:
+                    if chain_extra:
+                        stats = stats_op(x)
+                    else:
+                        # no chain extras: the monolithic internal-stats op
+                        # (single custom_vjp, c1/c2-folded backward)
+                        return preact_conv(
+                            x, gamma, beta, kernel, bias, stride, pads,
+                            self.pad_mode, n_act, n_alpha, n_eps,
+                        )
+                r = preact_conv_ext(
+                    x, stats[0], stats[1], gamma, beta, kernel, bias,
+                    stride, pads, self.pad_mode, n_act, n_alpha, n_eps,
+                    emit_stats=emit_stats, epi=epi,
+                )
+            else:
+                # plain conv with chain extras (the projected shortcut / a
+                # chain entry conv): emit via the kernel epilogue
+                assert epi is None, "epi without a prologue is unused by the models"
+                r = conv_stats(x, kernel, bias, stride, pads, self.pad_mode)
+                if not emit_stats:
+                    r = r[0]
+            return r
+
+        # ---- unfused fallback: identical semantics, separate ops ----
+        if has_pro:
+            # external stats (if any) are by contract exactly stats(x):
+            # recomputing gives the same values and, by the chain rule
+            # through the same function, the same total gradients
+            x = apply_instance_norm(
+                x, gamma, beta, eps=n_eps, act=n_act, alpha=n_alpha,
+                layout=self.layout, dtype=x.dtype,
+            )
+        y = self._plain_conv(x, kernel, bias, k, stride, pads, n_sp)
+        if epi is not None:
+            short, _, _, gamma_s, beta_s = epi
+            y = y + apply_instance_norm(
+                short, gamma_s, beta_s, eps=n_eps, act="none",
+                layout=self.layout, dtype=y.dtype,
+            )
+        if emit_stats:
+            mean = jnp.mean(y, axis=(1, 3, 4), dtype=jnp.float32)
+            yc = y.astype(jnp.float32) - mean[:, None, :, None, None]
+            var = jnp.mean(lax.square(yc), axis=(1, 3, 4), dtype=jnp.float32)
+            return y, mean, var
+        return y
+
 
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalisation over spatial dims, with an
@@ -225,9 +350,10 @@ class InstanceNorm(nn.Module):
     leaky_slope: float = 0.2
     layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
+    defer: bool = False  # return (x, gamma, beta) unapplied (pre-act fusion)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, stats=None):
         cax = channel_axis(self.layout) % x.ndim
         c = x.shape[cax]
         bshape = [1] * x.ndim
@@ -242,37 +368,79 @@ class InstanceNorm(nn.Module):
             if self.use_bias
             else jnp.zeros((c,), jnp.float32)
         )
+        if self.defer:
+            # pre-act fusion (PreActConvBlock): the consumer ConvND applies
+            # the whole norm via its ``norm_prologue`` — params (and hence
+            # checkpoints) stay identical to the unfused tree
+            return x, gamma, beta
 
-        from vangan_tpu.ops.pallas.instnorm import (
-            instance_norm_act,
-            instance_norm_act_supported,
-        )
+        if stats is not None:
+            # stats-external apply (discriminator chain): the producing conv
+            # emitted this tensor's (mean, var) from its epilogue, so the
+            # standalone stats launch — a full HBM read of x — is skipped
+            # (ops/pallas/instnorm.apply_with_stats; NXCYZ 3-D only)
+            assert self.layout == "NXCYZ" and x.ndim == 5, (
+                "InstanceNorm stats= is an NXCYZ 3-D chain-fusion kwarg"
+            )
+            from vangan_tpu.ops.pallas.instnorm import apply_with_stats
 
-        if instance_norm_act_supported(x.shape, self.layout):
-            y = instance_norm_act(
-                x, gamma, beta, self.epsilon, self.act, self.leaky_slope
+            y = apply_with_stats(
+                x, stats[0], stats[1], gamma, beta, self.epsilon, self.act,
+                self.leaky_slope,
             )
             return y.astype(self.dtype or x.dtype)
 
-        axes = spatial_axes(self.layout, x.ndim)
-        # Statistics accumulate in float32 via the reduction dtype; the
-        # elementwise math stays in the compute dtype. (A full f32 cast of the
-        # activation would materialise GB-scale padded temporaries at 128^3 —
-        # XLA pads the 16-channel minor dim to 128 lanes.)
-        mean32 = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-        xc = x - mean32.astype(x.dtype)
-        var32 = jnp.mean(jax.lax.square(xc), axis=axes, keepdims=True, dtype=jnp.float32)
-        inv = jax.lax.rsqrt(var32 + self.epsilon)
-        y = xc * inv.astype(x.dtype)
-        if self.use_scale:
-            y = y * gamma.astype(x.dtype).reshape(bshape)
-        if self.use_bias:
-            y = y + beta.astype(x.dtype).reshape(bshape)
-        if self.act == "relu":
-            y = nn.relu(y)
-        elif self.act == "leaky_relu":
-            y = nn.leaky_relu(y, self.leaky_slope)
-        return y.astype(self.dtype or x.dtype)
+        return apply_instance_norm(
+            x, gamma, beta, eps=self.epsilon, act=self.act,
+            alpha=self.leaky_slope, layout=self.layout,
+            dtype=self.dtype or x.dtype,
+        )
+
+
+def apply_instance_norm(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    *,
+    eps: float = 1e-3,
+    act: str = "none",
+    alpha: float = 0.2,
+    layout: str = "NXYZC",
+    dtype: Optional[Dtype] = None,
+) -> jnp.ndarray:
+    """Parameter-free InstanceNorm+act dispatch (fused Pallas kernels on the
+    NXCYZ layout, jnp otherwise) — shared by the InstanceNorm module and the
+    ConvND ``norm_prologue`` fallback so both paths are one implementation."""
+    from vangan_tpu.ops.pallas.instnorm import (
+        instance_norm_act,
+        instance_norm_act_supported,
+    )
+
+    out_dtype = dtype or x.dtype
+    if instance_norm_act_supported(x.shape, layout):
+        y = instance_norm_act(x, gamma, beta, eps, act, alpha)
+        return y.astype(out_dtype)
+
+    cax = channel_axis(layout) % x.ndim
+    bshape = [1] * x.ndim
+    bshape[cax] = x.shape[cax]
+    axes = spatial_axes(layout, x.ndim)
+    # Statistics accumulate in float32 via the reduction dtype; the
+    # elementwise math stays in the compute dtype. (A full f32 cast of the
+    # activation would materialise GB-scale padded temporaries at 128^3 —
+    # XLA pads the 16-channel minor dim to 128 lanes.)
+    mean32 = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+    xc = x - mean32.astype(x.dtype)
+    var32 = jnp.mean(jax.lax.square(xc), axis=axes, keepdims=True, dtype=jnp.float32)
+    inv = jax.lax.rsqrt(var32 + eps)
+    y = xc * inv.astype(x.dtype)
+    y = y * gamma.astype(x.dtype).reshape(bshape)
+    y = y + beta.astype(x.dtype).reshape(bshape)
+    if act == "relu":
+        y = nn.relu(y)
+    elif act == "leaky_relu":
+        y = nn.leaky_relu(y, alpha)
+    return y.astype(out_dtype)
 
 
 class GaussianNoise(nn.Module):
@@ -346,12 +514,14 @@ class NormAct(nn.Module):
     act: bool = True
     layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
+    defer: bool = False  # return (x, gamma, beta) for pre-act conv fusion
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         return InstanceNorm(
             act="relu" if self.act else "none",
             layout=self.layout, dtype=self.dtype, name="inorm",
+            defer=self.defer,
         )(x)
 
 
@@ -373,15 +543,33 @@ class PreActConvBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = NormAct(layout=self.layout, dtype=self.dtype, name="norm_act")(x)
+    def __call__(self, x: jnp.ndarray, stats_in=None, emit_stats: bool = False,
+                 epi=None):
+        # Pre-act fusion (VANGAN_FUSE_PREACT): defer the norm into the conv's
+        # slab prologue. Param tree and semantics are identical either way;
+        # ConvND falls back to the unfused composition when the fused kernels
+        # can't run this shape. Chain kwargs (stats_in / emit_stats / epi) are
+        # forwarded to ConvND — see its docstring; they may only be passed on
+        # the NXCYZ layout (the blocks gate before passing).
+        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
+        norm_act = NormAct(layout=self.layout, dtype=self.dtype,
+                           name="norm_act", defer=fuse)
         p = self.kernel_size // 2
-        x = ConvND(
+        if fuse:
+            x, gamma, beta = norm_act(x)
+            return ConvND(
+                self.filters, self.kernel_size, self.strides,
+                padding=uniform_pads(p, x), pad_mode="reflect",
+                use_bias=self.use_bias, layout=self.layout,
+                dtype=self.dtype, name="conv",
+            )(x, norm_prologue=(gamma, beta, "relu", 0.2, 1e-3),
+              stats=stats_in, emit_stats=emit_stats, epi=epi)
+        x = norm_act(x)
+        return ConvND(
             self.filters, self.kernel_size, self.strides, padding=uniform_pads(p, x),
             pad_mode="reflect", use_bias=self.use_bias, layout=self.layout,
             dtype=self.dtype, name="conv",
-        )(x)
-        return x
+        )(x, emit_stats=emit_stats, epi=epi)
 
 
 class Stem(nn.Module):
@@ -393,30 +581,60 @@ class Stem(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, emit_stats: bool = False):
         # conv1 feeds conv_block's InstanceNorm and shortcut feeds
         # shortcut_norm directly: biases there are exactly cancelled by the
         # IN mean-subtraction (dead params; see PreActConvBlock docstring)
-        conv = ConvND(
+        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
+        conv1 = ConvND(
             self.filters, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
             use_bias=False, layout=self.layout, dtype=self.dtype, name="conv1",
-        )(x)
-        conv = PreActConvBlock(
+        )
+        conv_block = PreActConvBlock(
             self.filters, layout=self.layout, dtype=self.dtype, name="conv_block"
-        )(conv)
-        shortcut = ConvND(
+        )
+        shortcut_conv = ConvND(
             self.filters, 1, 1, padding="same", use_bias=False,
             layout=self.layout, dtype=self.dtype, name="shortcut",
-        )(x)
-        shortcut = NormAct(act=False, layout=self.layout, dtype=self.dtype, name="shortcut_norm")(
-            shortcut
         )
-        return conv + shortcut
+        shortcut_norm = NormAct(act=False, layout=self.layout, dtype=self.dtype,
+                                name="shortcut_norm", defer=fuse)
+        if fuse:
+            # chain wiring: conv1 emits conv_block's IN stats; the shortcut
+            # norm + residual add fold into conv_block's conv epilogue
+            c1, m1, v1 = conv1(x, emit_stats=True)
+            sc, m_s, v_s = shortcut_conv(x, emit_stats=True)
+            _, gamma_s, beta_s = shortcut_norm(sc)
+            return conv_block(
+                c1, stats_in=(m1, v1), emit_stats=emit_stats,
+                epi=(sc, m_s, v_s, gamma_s, beta_s),
+            )
+        conv = conv_block(conv1(x))
+        shortcut = shortcut_norm(shortcut_conv(x))
+        out = conv + shortcut
+        if emit_stats:
+            return out, *_jnp_stats(out)
+        return out
+
+
+def _jnp_stats(y: jnp.ndarray):
+    """Per-(B, C) f32 (mean, var) on the NXCYZ layout — the chain-fusion
+    fallback's stats emission (differentiable through jnp)."""
+    mean = jnp.mean(y, axis=(1, 3, 4), dtype=jnp.float32)
+    yc = y.astype(jnp.float32) - mean[:, None, :, None, None]
+    var = jnp.mean(lax.square(yc), axis=(1, 3, 4), dtype=jnp.float32)
+    return mean, var
 
 
 class ResUNetResidualBlock(nn.Module):
     """Pre-activation residual block with projected shortcut
-    (resunet_model.py:103-143)."""
+    (resunet_model.py:103-143).
+
+    Chain fusion (VANGAN_FUSE_PREACT, NXCYZ): 3 Pallas conv launches —
+    block1 consumes ``stats_in`` (the producer-emitted InstanceNorm stats of
+    ``x``) and emits block2's; the shortcut conv emits its own; block2 folds
+    the shortcut norm-apply + residual add into its epilogue and (dropout
+    permitting) emits the block output's stats for the next consumer."""
 
     filters: int
     strides: int = 1
@@ -426,28 +644,51 @@ class ResUNetResidualBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False, stats_in=None,
+                 emit_stats: bool = False):
         # block1's conv feeds block2's InstanceNorm and shortcut feeds
         # shortcut_norm directly: biases there are dead (IN-cancelled)
-        res = PreActConvBlock(
-            self.filters, strides=self.strides, use_bias=False,
-            layout=self.layout, dtype=self.dtype, name="block1",
-        )(x)
-        res = PreActConvBlock(
-            self.filters, strides=1, layout=self.layout, dtype=self.dtype, name="block2"
-        )(res)
-        shortcut = ConvND(
-            self.filters, 1, self.strides, padding="same", use_bias=False,
-            layout=self.layout, dtype=self.dtype, name="shortcut",
-        )(x)
-        shortcut = NormAct(act=False, layout=self.layout, dtype=self.dtype, name="shortcut_norm")(
-            shortcut
-        )
-        out = shortcut + res
+        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
         do = make_dropout(self.dropout_type, self.dropout, n_spatial=x.ndim - 2,
                           layout=self.layout)
+        block1 = PreActConvBlock(
+            self.filters, strides=self.strides, use_bias=False,
+            layout=self.layout, dtype=self.dtype, name="block1",
+        )
+        block2 = PreActConvBlock(
+            self.filters, strides=1, layout=self.layout, dtype=self.dtype, name="block2"
+        )
+        shortcut_conv = ConvND(
+            self.filters, 1, self.strides, padding="same", use_bias=False,
+            layout=self.layout, dtype=self.dtype, name="shortcut",
+        )
+        shortcut_norm = NormAct(act=False, layout=self.layout, dtype=self.dtype,
+                                name="shortcut_norm", defer=fuse)
+        if fuse:
+            # emitted out-stats describe the PRE-dropout tensor; with live
+            # dropout the chain must not propagate them
+            emit_out = emit_stats and (do is None or not train)
+            r1, m1, v1 = block1(x, stats_in=stats_in, emit_stats=True)
+            sc, m_s, v_s = shortcut_conv(x, emit_stats=True)
+            _, gamma_s, beta_s = shortcut_norm(sc)
+            r = block2(
+                r1, stats_in=(m1, v1), emit_stats=emit_out,
+                epi=(sc, m_s, v_s, gamma_s, beta_s),
+            )
+            out = r[0] if emit_out else r
+            if do is not None:
+                out = do(out, deterministic=not train)
+            if emit_stats:
+                return (out, r[1], r[2]) if emit_out else (out, *_jnp_stats(out))
+            return out
+        res = block1(x)
+        res = block2(res)
+        shortcut = shortcut_norm(shortcut_conv(x))
+        out = shortcut + res
         if do is not None:
             out = do(out, deterministic=not train)
+        if emit_stats:
+            return out, *_jnp_stats(out)
         return out
 
 
@@ -533,9 +774,19 @@ class DiscDownsample(nn.Module):
             x = nn.SpectralNorm(conv)(x, update_stats=train)
             x = nn.leaky_relu(x, self.leaky_slope)
         else:
-            x = conv(x)
-            x = InstanceNorm(act="leaky_relu", leaky_slope=self.leaky_slope,
-                             layout=self.layout, dtype=self.dtype, name="inorm")(x)
+            inorm = InstanceNorm(act="leaky_relu", leaky_slope=self.leaky_slope,
+                                 layout=self.layout, dtype=self.dtype, name="inorm")
+            if fold_pad and x.ndim == 5 and fused_preact_enabled():
+                # discriminator chain (VANGAN_FUSE_PREACT): the conv emits
+                # its output's InstanceNorm stats from the kernel epilogue;
+                # the norm consumes them — no standalone stats launch. The
+                # apply itself cannot fold into the NEXT conv's prologue
+                # here: dropout + scheduled layer noise sit between
+                # (building_blocks.py:126-196), unlike the generator chain.
+                y, m, v = conv(x, emit_stats=True)
+                x = inorm(y, stats=(m, v))
+            else:
+                x = inorm(conv(x))
         if self.use_dropout:
             x = spatial_dropout(
                 self.dropout_rate, n_spatial=x.ndim - 2, name="dropout", layout=self.layout

@@ -224,6 +224,72 @@ def _db_enabled() -> bool:
     return os.environ.get("VANGAN_CONV_DB", "1") != "0"
 
 
+def _pro_bcast(a_ref, b_ref, shape3, dtype):
+    """Build the per-channel affine broadcast pair for the fused pre-act
+    prologue (ops/pallas/fused_preact.py): (1, Ci, 1) refs -> two (Ci, ys, Zp)
+    tensors in the slab dtype. Reuses the instnorm kernels' proven lowering
+    pattern (lane expansion via an MXU outer product, sublane via a
+    single-axis broadcast — multi-axis vector.broadcast does not lower on
+    this toolchain)."""
+    from vangan_tpu.ops.pallas.instnorm import _bcast_c
+
+    return (
+        _bcast_c(a_ref[0], shape3, dtype),
+        _bcast_c(b_ref[0], shape3, dtype),
+    )
+
+
+def _pro_row(row: jnp.ndarray, pro_bc, act: str, alpha: float) -> jnp.ndarray:
+    """act(row * a + b) in the compute dtype — the InstanceNorm apply epilogue
+    folded into the conv's slab read (identical arithmetic/rounding to
+    instnorm._apply_kernel, so fused == unfused bit-for-bit per element)."""
+    from vangan_tpu.ops.pallas.instnorm import _act_fwd
+
+    a_bc, b_bc = pro_bc
+    return _act_fwd(row * a_bc + b_bc, act, alpha).astype(row.dtype)
+
+
+def _stats_row_update(oq, mean_ref, m2_ref, xo: int, xb: int, n_row: int):
+    """Merge one output row's (mean, M2) into the per-(b, co) Welford
+    accumulators (Chan's parallel merge — the instnorm _stats_kernel pattern,
+    per output row instead of per block). ``oq`` is the (co, yb, zo) value
+    ABOUT to be stored (post compute-dtype rounding, so the emitted stats
+    describe exactly the tensor the consumer reads). The row counter spans
+    this b's whole (i, j, xo) walk; grid dims are sequential ("arbitrary"),
+    which the revisiting accumulation requires.
+
+    Emitted-stats use (ops/pallas/fused_preact.py): the conv that PRODUCES a
+    pre-act block's input also computes the InstanceNorm statistics its
+    consumer needs, deleting the standalone stats launch (one full HBM read
+    of the tensor, plus its ~ms Pallas fixed cost — docs/PERF.md round 3:
+    launch overhead, not bandwidth, dominates at 128^3 x 16ch)."""
+    from vangan_tpu.ops.pallas.instnorm import _bcast_c
+
+    co, yb, zo = oq.shape
+    of = oq.astype(jnp.float32)
+    s1 = jnp.sum(of, axis=1)                              # (co, zo)
+    rm = jnp.sum(s1, axis=1, keepdims=True) / n_row       # (co, 1)
+    xc = of - _bcast_c(rm, (co, yb, zo))
+    m2r_z = jnp.sum(lax.square(xc), axis=1)               # (co, zo)
+    m2r = jnp.sum(m2r_z, axis=1, keepdims=True)           # (co, 1)
+
+    i, j = pl.program_id(1), pl.program_id(2)
+    r_idx = (i * pl.num_programs(2) + j) * xb + xo        # rows done before us
+
+    @pl.when(r_idx == 0)
+    def _init():
+        mean_ref[0] = rm
+        m2_ref[0] = m2r
+
+    @pl.when(r_idx > 0)
+    def _merge():
+        n_a = (r_idx * n_row).astype(jnp.float32)
+        n_b = jnp.float32(n_row)
+        delta = rm - mean_ref[0]
+        mean_ref[0] += delta * (n_b / (n_a + n_b))
+        m2_ref[0] += m2r + lax.square(delta) * (n_a * n_b / (n_a + n_b))
+
+
 def _linear_step():
     """(t, total, next b/i/j) for the sequential 3-D grid — the manual
     double-buffer pipeline needs the lexicographic successor's indices."""
@@ -272,7 +338,7 @@ def _slab_pipeline(x_vmem, sem, make_copies, db: bool):
     return slot
 
 
-def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin):
+def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin, pro=None):
     """Stack the kx*ky (dx, dy) tap slices for output row ``xo`` into the
     (kx*ky*Ci, yb*Zp) patch matrix ('tap' formulation; the xo loop is
     unrolled with the block size planned against the VMEM stack, _plan_xb).
@@ -280,12 +346,21 @@ def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin):
     y-stride-2 taps parity-split the sublane dim via reshape (direct strided
     loads only lower for 32-bit data on this toolchain; reshape+index works
     for bf16 too).
+
+    ``pro`` = (pro_bc, act, alpha): apply the fused InstanceNorm affine+act
+    prologue to each slab row at read time (per-xo temporaries, budgeted by
+    the ``pro`` arm of _stack_bytes). Rows are transformed kx times per xo —
+    redundant VPU work, but per-xo SSA temporaries instead of a whole-slab
+    in-place rewrite whose row temps Mosaic would stack across the unrolled
+    loop.
     """
     kx, ky, _ = k
     sx, sy, _ = stride
     taps = []
     for dx in range(kx):
         row = x_vmem[slot, sx * xo + dx]  # (Ci, ys, Zp)
+        if pro is not None:
+            row = _pro_row(row, pro[0], pro[1], pro[2])
         if sy == 1:
             for dy in range(ky):
                 taps.append(row[:, dy : dy + yb])
@@ -313,6 +388,9 @@ def _fwd_kernel_b(
     has_bias: bool,
     ys: int,
     db: bool,
+    pro: Optional[Tuple[str, float]] = None,
+    epi: bool = False,
+    stats: bool = False,
 ):
     """Tap-stack-free forward ("B formulation", stride-y == 1 only).
 
@@ -325,16 +403,19 @@ def _fwd_kernel_b(
     cross the sublane/lane boundary (7x less relayout volume than stacking a
     (kx*ky*Ci, yb*Zp) patch matrix per output row — the measured bottleneck).
     """
-    if rest:
-        if has_bias:
-            x_hbm, w_ref, s_ref, b_ref, out_ref, x_vmem, bmat, sem = refs
-        else:
-            x_hbm, w_ref, s_ref, out_ref, x_vmem, bmat, sem = refs
-    else:
-        if has_bias:
-            x_hbm, w_ref, b_ref, out_ref, x_vmem, bmat, sem = refs
-        else:
-            x_hbm, w_ref, out_ref, x_vmem, bmat, sem = refs
+    it = iter(refs)
+    x_hbm, w_ref = next(it), next(it)
+    s_ref = next(it) if rest else None
+    b_ref = next(it) if has_bias else None
+    pa_ref = next(it) if pro is not None else None
+    pb_ref = next(it) if pro is not None else None
+    sh_ref = next(it) if epi else None
+    ea_ref = next(it) if epi else None
+    eb_ref = next(it) if epi else None
+    out_ref = next(it)
+    mean_ref = next(it) if stats else None
+    m2_ref = next(it) if stats else None
+    x_vmem, bmat, sem = next(it), next(it), next(it)
     kx, ky, kz = k
     sx, _, _ = stride
 
@@ -353,11 +434,23 @@ def _fwd_kernel_b(
 
     slot = _slab_pipeline(x_vmem, sem, mk, db)
 
+    if pro is not None:
+        # merged-lane (Ci, ys*Zp) affine constants: lane expansion via an MXU
+        # outer product (dots always lower; see _pro_bcast for the 3-D form)
+        from vangan_tpu.ops.pallas.instnorm import _act_fwd
+
+        ones_row = jnp.ones((1, span), jnp.float32)
+        pro_a = jnp.dot(pa_ref[0].astype(jnp.float32), ones_row).astype(x_vmem.dtype)
+        pro_b = jnp.dot(pb_ref[0].astype(jnp.float32), ones_row).astype(x_vmem.dtype)
+
+    epi_bc = _pro_bcast(ea_ref, eb_ref, (co, yb, zo), None) if epi else None
     kzco = kz * co
     for xo in range(xb):
         acc = None
         for dx in range(kx):
             row2 = x_vmem[slot, sx * xo + dx]  # (Ci, ys*Zp)
+            if pro is not None:
+                row2 = _act_fwd(row2 * pro_a + pro_b, pro[0], pro[1]).astype(row2.dtype)
             wdx = w_ref[dx]
             if ci < 8 and row2.dtype != jnp.float32:
                 # degenerate-K dots take Mosaic's vector-like path, which has
@@ -383,7 +476,13 @@ def _fwd_kernel_b(
         o3 = out.reshape(co, yb, zo)
         if has_bias:
             o3 = o3 + b_ref[:].reshape(co, 1, 1)
-        out_ref[0, xo] = o3.astype(out_ref.dtype)
+        if epi:
+            sblk = sh_ref[0, xo].astype(jnp.float32)
+            o3 = o3 + (sblk * epi_bc[0] + epi_bc[1])
+        oq = o3.astype(out_ref.dtype)
+        out_ref[0, xo] = oq
+        if stats:
+            _stats_row_update(oq, mean_ref, m2_ref, xo, xb, yb * zo)
 
 
 def _fwd_kernel(
@@ -401,17 +500,23 @@ def _fwd_kernel(
     has_bias: bool,
     unroll: bool,
     db: bool,
+    pro: Optional[Tuple[str, float]] = None,
+    epi: bool = False,
+    stats: bool = False,
 ):
-    if rest:
-        if has_bias:
-            x_hbm, w_ref, s_ref, b_ref, out_ref, x_vmem, sem = refs
-        else:
-            x_hbm, w_ref, s_ref, out_ref, x_vmem, sem = refs
-    else:
-        if has_bias:
-            x_hbm, w_ref, b_ref, out_ref, x_vmem, sem = refs
-        else:
-            x_hbm, w_ref, out_ref, x_vmem, sem = refs
+    it = iter(refs)
+    x_hbm, w_ref = next(it), next(it)
+    s_ref = next(it) if rest else None
+    b_ref = next(it) if has_bias else None
+    pa_ref = next(it) if pro is not None else None
+    pb_ref = next(it) if pro is not None else None
+    sh_ref = next(it) if epi else None
+    ea_ref = next(it) if epi else None
+    eb_ref = next(it) if epi else None
+    out_ref = next(it)
+    mean_ref = next(it) if stats else None
+    m2_ref = next(it) if stats else None
+    x_vmem, sem = next(it), next(it)
     kx, ky, kz = k
     sx, sy, sz = stride
 
@@ -431,6 +536,11 @@ def _fwd_kernel(
         ]
 
     slot = _slab_pipeline(x_vmem, sem, mk, db)
+    pro_tap = None
+    if pro is not None:
+        pro_tap = (_pro_bcast(pa_ref, pb_ref, (ci, ys, zin), x_vmem.dtype),
+                   pro[0], pro[1])
+    epi_bc = _pro_bcast(ea_ref, eb_ref, (co, yb, zo), None) if epi else None
     w = w_ref[:]  # (kz, Co, kx*ky*Ci)
     kz_ = k[2]
     # Stacked-taps dot (round 3): one (kz*Co, K) @ (K, yb*Zp) matmul instead
@@ -444,7 +554,8 @@ def _fwd_kernel(
                and os.environ.get("VANGAN_CONV_STACK", "1") != "0")
 
     def body(xo, _):
-        p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
+        p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride,
+                        ci=ci, zin=zin, pro=pro_tap)
 
         out = None
         if stacked:
@@ -474,7 +585,15 @@ def _fwd_kernel(
         o3 = out.reshape(co, yb, zo)
         if has_bias:
             o3 = o3 + b_ref[:].reshape(co, 1, 1)
-        out_ref[0, pl.ds(xo, 1)] = o3.astype(out_ref.dtype)[None]
+        if epi:
+            # fused shortcut: += short*a_s + b_s (the projected-shortcut
+            # InstanceNorm apply + residual add, in f32 before the store)
+            sblk = sh_ref[0, xo].astype(jnp.float32)
+            o3 = o3 + (sblk * epi_bc[0] + epi_bc[1])
+        oq = o3.astype(out_ref.dtype)
+        out_ref[0, pl.ds(xo, 1)] = oq[None]
+        if stats:
+            _stats_row_update(oq, mean_ref, m2_ref, xo, xb, yb * zo)
         return 0
 
     if unroll:  # fastest; the fori_loop variant reuses VMEM stack instead
@@ -496,31 +615,44 @@ def _per_xo_bytes(yb, k, ci, co, zp, itemsize) -> int:
     return yb * zp * (kx * ky * ci * itemsize + kz * co * 8) + yb * zp * 4 * co
 
 
-def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize, form_b=False) -> int:
+def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize, form_b=False,
+                 pro=False, stats=False, epi=False) -> int:
     kx, ky, kz = k
     ys = _round_up(stride[1] * (yb - 1) + ky, 8)
     nslots = 2 if _db_enabled() else 1  # double-buffered slab (round 3)
     slab = nslots * (stride[0] * (xb - 1) + kx) * ci * ys * zp * itemsize
     w_bytes = kz * co * kx * ky * ci * itemsize
+    # fused pre-act prologue (fused_preact.py): kx transformed-row temps per
+    # xo plus the two fixed affine broadcast constants
+    pro_bytes = ((xb * kx + 2) * ci * ys * zp * itemsize) if pro else 0
+    # emitted stats: per-xo f32 copy + centred temp + (co, zo) partials
+    stats_bytes = (xb * (2 * co * yb * zp + 3 * co * zp) * 4) if stats else 0
+    # epilogue shortcut add: 2-slot pipelined short block + f32 cast per xo
+    # + the two f32 affine broadcast constants
+    epi_bytes = ((2 * co * yb * zp * itemsize)
+                 + (xb + 2) * co * yb * zp * 4) if epi else 0
+    extra = pro_bytes + stats_bytes + epi_bytes
     if form_b:
         # explicit B scratch + small per-xo accumulate/select temporaries
         fixed = ky * kz * co * ys * zp * 4
         per_xo = yb * zp * co * (kz * 6 + 4)
-        return xb * per_xo + fixed + slab + 2 * w_bytes
-    return xb * _per_xo_bytes(yb, k, ci, co, zp, itemsize) + slab + 2 * w_bytes
+        return xb * per_xo + fixed + slab + 2 * w_bytes + extra
+    return xb * _per_xo_bytes(yb, k, ci, co, zp, itemsize) + slab + 2 * w_bytes + extra
 
 
-def _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b=False) -> int:
+def _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b=False,
+             pro=False, stats=False, epi=False) -> int:
     """Largest x block whose unrolled VMEM stack fits (1 as the floor)."""
     for xb in (8, 4, 2):
         if xo_dim % xb == 0 and _stack_bytes(
-            xb, yb, k, stride, ci, co, zp, itemsize, form_b
+            xb, yb, k, stride, ci, co, zp, itemsize, form_b, pro, stats, epi
         ) <= _VMEM_BUDGET:
             return xb
     return 1
 
 
-def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False):
+def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False,
+                 pro=False, stats=False, epi=False):
     """(xb, yb): bigger y blocks amortise per-block DMA latency (measured 21%
     at yb=16 on the 16ch 128^3 conv; no further gain at 32) unless they starve
     the x block below 4."""
@@ -539,10 +671,12 @@ def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False):
             continue
         if (sy * yb) % 8 or yo_dim % yb:
             continue
-        xb = _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b)
+        xb = _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b, pro,
+                      stats, epi)
         if yb == 8 or xb >= 4:
             return xb, yb
-    return _plan_xb(xo_dim, 8, k, stride, ci, co, zp, itemsize, form_b), 8
+    return _plan_xb(xo_dim, 8, k, stride, ci, co, zp, itemsize, form_b, pro,
+                    stats, epi), 8
 
 
 def conv3d_cxyz_fits(x_shape, k, stride, itemsize=2, co=None) -> bool:
@@ -566,7 +700,10 @@ def _conv_fwd(
     z_mode: str,
     selects=None,
     out_dims: Optional[Tuple[int, int]] = None,
-) -> jnp.ndarray:
+    pro=None,
+    epi=None,
+    emit_stats: bool = False,
+):
     """Core conv on an x/y-prepadded input.
 
     xp: (B, Xp, Ci, Yp, Zin); w: (kx,ky,kz,Ci,Co). z padding is implicit in the
@@ -574,6 +711,26 @@ def _conv_fwd(
     given — dgrad passes transposed stacks). Output x/y dims are the exact
     VALID sizes (or ``out_dims`` when the caller wants over-computed rows
     trimmed later).
+
+    ``pro`` = (a, b, act, alpha) with a/b (B, Ci) f32: the fused pre-act
+    prologue — every slab row is read as ``act(x*a + b)`` (the InstanceNorm
+    affine+activation folded in, ops/pallas/fused_preact.py). The virtual z
+    zero-pad stays correct under ``pro``: out-of-range z taps contribute zero
+    via the select matrices, which is zero-padding of the TRANSFORMED tensor
+    (the fused semantics). x/y host padding must be reflect (or absent) —
+    enforced by the caller — since zero x/y pads would transform to act(b).
+
+    ``epi`` = (short, a_s, b_s) with short (B, Xo, Co, Yo, Zo) and a_s/b_s
+    (B, Co) f32: the output is ``conv + bias + short*a_s + b_s`` — the
+    projected-shortcut InstanceNorm apply + residual add of
+    ResUNetResidualBlock folded into the epilogue (layers.py:497-531).
+
+    ``emit_stats``: also return the per-(B, Co) f32 (mean, var) of the
+    (epilogue-complete, compute-dtype-rounded) output — the InstanceNorm
+    statistics its pre-act consumer needs, accumulated in the kernel epilogue
+    (Chan-merged per output row). Falls back to a jnp pass over the output
+    when block rounding would over-compute rows (stats must only see real
+    voxels). Returns (y, mean, var) instead of y.
     """
     b, xdim, ci, ydim, zin = xp.shape
     kx, ky, kz, wci, co = w.shape
@@ -613,9 +770,14 @@ def _conv_fwd(
 
     # Blocks: computed output is rounded up to a block multiple and trimmed.
     xb, yb = _plan_blocks(xo_dim, yo_dim, (kx, ky, kz), stride, ci, co, zp,
-                          xp.dtype.itemsize, form_b=form_b)
+                          xp.dtype.itemsize, form_b=form_b, pro=pro is not None,
+                          stats=emit_stats, epi=epi is not None)
     xo_c = _round_up(xo_dim, xb)
     yo_c = _round_up(yo_dim, yb)
+    # In-kernel stats accumulate REAL rows only: over-computed rows (block
+    # rounding) would pollute the sums, so those shapes take a jnp fallback
+    # pass over the stored output instead.
+    stats_fused = emit_stats and xo_c == xo_dim and yo_c == yo_dim
     # Over-pad x/y (zeros) so over-computed rows' DMA reads stay in bounds.
     ys = _round_up(sy * (yb - 1) + ky, 8)
     need_x = sx * (xo_c - xb) + sx * (xb - 1) + kx
@@ -631,6 +793,7 @@ def _conv_fwd(
     xb_in = sx * (xb - 1) + kx
     db = _db_enabled()
     nslots = 2 if db else 1
+    pro_static = (pro[2], pro[3]) if pro is not None else None
     if form_b:
         # y and z carried as MERGED lanes: a free host reshape makes every
         # in-kernel weight product relayout-free
@@ -645,7 +808,7 @@ def _conv_fwd(
             _fwd_kernel_b,
             xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
-            ys=ys, db=db,
+            ys=ys, db=db, pro=pro_static, epi=epi is not None, stats=stats_fused,
         )
     else:
         inputs = [xp, _pack_w(w, dtype)]
@@ -657,7 +820,8 @@ def _conv_fwd(
             _fwd_kernel,
             xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
-            unroll=True, db=db,
+            unroll=True, db=db, pro=pro_static, epi=epi is not None,
+            stats=stats_fused,
         )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -669,25 +833,68 @@ def _conv_fwd(
     if has_bias:
         inputs.append(bias.reshape(co, 1).astype(jnp.float32))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if pro is not None:
+        scal_spec = pl.BlockSpec(
+            (1, ci, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.VMEM
+        )
+        for arr in (pro[0], pro[1]):  # (B, Ci) f32 affine constants
+            inputs.append(arr.reshape(-1, ci, 1).astype(jnp.float32))
+            in_specs.append(scal_spec)
+    out_blk = pl.BlockSpec(
+        (1, xb, co, yb, zo), lambda bi, i, j: (bi, i, 0, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if epi is not None:
+        short, ea, eb = epi
+        if short.shape[1] != xo_c or short.shape[3] != yo_c:
+            short = jnp.pad(short, ((0, 0), (0, xo_c - short.shape[1]), (0, 0),
+                                    (0, yo_c - short.shape[3]), (0, 0)))
+        inputs.append(short.astype(dtype))
+        in_specs.append(out_blk)
+        co_spec = pl.BlockSpec(
+            (1, co, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.VMEM
+        )
+        for arr in (ea, eb):  # (B, Co) f32 shortcut-norm affine constants
+            inputs.append(arr.reshape(-1, co, 1).astype(jnp.float32))
+            in_specs.append(co_spec)
 
-    y = pl.pallas_call(
+    out_specs = out_blk
+    out_shape = jax.ShapeDtypeStruct((b, xo_c, co, yo_c, zo), dtype)
+    if stats_fused:
+        stat_spec = pl.BlockSpec((1, co, 1), lambda bi, i, j: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = [out_specs, stat_spec, stat_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, co, 1), jnp.float32),
+                     jax.ShapeDtypeStruct((b, co, 1), jnp.float32)]
+
+    r = pl.pallas_call(
         kernel,
         grid=(b, xo_c // xb, yo_c // yb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, xb, co, yb, zo), lambda bi, i, j: (bi, i, 0, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, xo_c, co, yo_c, zo), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 3,
         ),
         interpret=_interpret(),
     )(*inputs)
+    y = r[0] if stats_fused else r
     if (xo_c, yo_c) != (xo_dim, yo_dim):
         y = y[:, :xo_dim, :, :yo_dim]
-    return y
+    if not emit_stats:
+        return y
+    if stats_fused:
+        n = xo_dim * yo_dim * zo
+        mean, m2 = r[1][..., 0], r[2][..., 0]
+        return y, mean, jnp.maximum(m2 / n, 0.0)
+    # over-computed-rows fallback: a two-pass jnp reduction over the stored
+    # output (correct for any block plan; one extra HBM read)
+    mean = jnp.mean(y, axis=(1, 3, 4), dtype=jnp.float32)
+    yc = y.astype(jnp.float32) - mean[:, None, :, None, None]
+    var = jnp.mean(lax.square(yc), axis=(1, 3, 4), dtype=jnp.float32)
+    return y, mean, var
 
 
 # ---------------------------------------------------------------------------
@@ -709,11 +916,14 @@ def _wgrad_kernel(
     rest: Sequence[int],
     unroll: bool,
     db: bool,
+    pro: Optional[Tuple[str, float]] = None,
 ):
-    if rest:
-        x_hbm, g_ref, st_ref, dw_ref, x_vmem, sem = refs
-    else:
-        x_hbm, g_ref, dw_ref, x_vmem, sem = refs
+    it = iter(refs)
+    x_hbm, g_ref = next(it), next(it)
+    st_ref = next(it) if rest else None
+    pa_ref = next(it) if pro is not None else None
+    pb_ref = next(it) if pro is not None else None
+    dw_ref, x_vmem, sem = next(it), next(it), next(it)
     kx, ky, kz = k
     sx, sy, sz = stride
     b = pl.program_id(0)
@@ -738,6 +948,12 @@ def _wgrad_kernel(
         ]
 
     slot = _slab_pipeline(x_vmem, sem, mk, db)
+    pro_tap = None
+    if pro is not None:
+        # the patch matrix must be the TRANSFORMED tensor t = act(x*a+b)
+        # (dW = g x-contract t); g itself is a cotangent — never transformed
+        pro_tap = (_pro_bcast(pa_ref, pb_ref, (ci, ys, zin), x_vmem.dtype),
+                   pro[0], pro[1])
 
     kz_ = k[2]
     # see _fwd_kernel: one (kz*Co)-row A@B^T instead of kz (Co)-row dots;
@@ -757,7 +973,8 @@ def _wgrad_kernel(
         )
 
     def body(xo, _):
-        p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride, ci=ci, zin=zin)
+        p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride,
+                        ci=ci, zin=zin, pro=pro_tap)
 
         g2 = g_ref[0, pl.ds(xo, 1)][0].reshape(co * yb, zo)  # (Co*yb, Zo)
         # Gd_dz = G @ S_dz^T, stacked: (Co*yb, len(rest)*Zp) in one matmul
@@ -797,8 +1014,12 @@ def _conv_wgrad(
     stride: Tuple[int, int, int],
     z_pad: Tuple[int, int],
     z_mode: str,
+    pro=None,
 ) -> jnp.ndarray:
-    """dL/dw for the core conv. xp: (B,Xp,Ci,Yp,Zin); g: (B,Xo,Co,Yo,Zo)."""
+    """dL/dw for the core conv. xp: (B,Xp,Ci,Yp,Zin); g: (B,Xo,Co,Yo,Zo).
+
+    ``pro`` = (a, b, act, alpha): the fused pre-act prologue — the patch
+    matrix is built from ``act(xp*a + b)`` (see _conv_fwd)."""
     b, xdim, ci, ydim, zin = xp.shape
     _, xo_dim, co, yo_dim, zo = g.shape
     kx, ky, kz = k
@@ -812,7 +1033,8 @@ def _conv_wgrad(
         else None
     )  # (Zo, len(rest)*Zp)
 
-    xb, yb = _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, xp.dtype.itemsize)
+    xb, yb = _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, xp.dtype.itemsize,
+                          pro=pro is not None)
     xo_c = _round_up(xo_dim, xb)
     yo_c = _round_up(yo_dim, yb)
     # over-computed rows must contribute ZERO to dw: pad g with zeros and pad
@@ -840,6 +1062,13 @@ def _conv_wgrad(
     if rest:
         inputs.append(jnp.asarray(st_cat, dtype))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if pro is not None:
+        scal_spec = pl.BlockSpec(
+            (1, ci, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.VMEM
+        )
+        for arr in (pro[0], pro[1]):
+            inputs.append(arr.reshape(-1, ci, 1).astype(jnp.float32))
+            in_specs.append(scal_spec)
 
     db = _db_enabled()
     nslots = 2 if db else 1
@@ -848,6 +1077,7 @@ def _conv_wgrad(
         xb=xb, yb=yb, k=k, stride=stride, ci=ci, co=co, zin=zp, zo=zo,
         id_tap=id_tap, rest=tuple(rest),
         unroll=True, db=db,
+        pro=(pro[2], pro[3]) if pro is not None else None,
     )
     xb_in = sx * (xb - 1) + kx
     dw3 = pl.pallas_call(
