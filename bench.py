@@ -191,8 +191,15 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
         # at batch 1 all ten network applications' activations fit in HBM:
         # skipping the per-network remat removes the backward's forward
         # recompute — measured 840 -> 623 ms (1.19 -> 1.61 patches/s/chip,
-        # 2026-08-17); batch >= 2 needs the remat to fit
-        remat=batch_per_chip >= 2,
+        # 2026-08-17); batch >= 2 needs the remat to fit. VANGAN_BENCH_REMAT
+        # overrides for A/B: the fused pre-act chain halves the spine's
+        # residual set ({x} instead of {x, t} per block), which is exactly
+        # what should let batch 3 drop the remat.
+        remat=(
+            os.environ["VANGAN_BENCH_REMAT"] == "1"
+            if os.environ.get("VANGAN_BENCH_REMAT") in ("0", "1")
+            else batch_per_chip >= 2
+        ),
         output_dir="/tmp/vg_bench",
     )
     models = {
@@ -419,8 +426,14 @@ def main() -> None:
         r = _probe_with_retry(["--batch", str(batch)], f"batch{batch}", failures)
         if r is not None:
             results.append(r)
+        # the fused batch-3 probe also drops the remat: the chain halves the
+        # spine's residual set, which is what should make batch 3 fit without
+        # it (an HBM OOM just loses this probe — batch3 unfused remains)
+        fp_env = {"VANGAN_FUSE_PREACT": "1"}
+        if batch >= 3:
+            fp_env["VANGAN_BENCH_REMAT"] = "0"
         r = _probe_with_retry(["--batch", str(batch)], f"batch{batch}_fp", failures,
-                              extra_env={"VANGAN_FUSE_PREACT": "1"})
+                              extra_env=fp_env)
         if r is not None:
             results.append(r)
 

@@ -85,9 +85,101 @@ def bench_norm():
               f"xla fwd {timed(xla, x):6.2f} ms   fused fwd+bwd {timed(fused_bwd, x):6.2f} ms")
 
 
+def bench_launch_overhead():
+    """ROADMAP P0.3: per-Pallas-launch fixed cost. N identical IN applies in
+    one jit vs 1 — the slope is the per-launch overhead (data dependence via
+    += keeps XLA from de-duplicating the launches)."""
+    from vangan_tpu.ops.pallas.instnorm import instance_norm_act
+
+    rng = np.random.default_rng(0)
+    c = 16
+    x = jnp.asarray(rng.normal(size=(1, 128, c, 128, 128)), jnp.bfloat16)
+    gamma = jnp.ones((c,), jnp.float32)
+    beta = jnp.zeros((c,), jnp.float32)
+
+    times = {}
+    for n in (1, 4, 8):
+
+        @jax.jit
+        def chain(x, n=n):
+            y = x
+            for _ in range(n):
+                y = instance_norm_act(y, gamma, beta, 1e-3, "none", 0.2)
+            return jnp.sum(y.astype(jnp.float32))
+
+        times[n] = timed(chain, x)
+        print(f"IN-apply chain n={n}:  {times[n]:7.2f} ms   "
+              f"({times[n] / n:6.2f} ms/launch)")
+    slope = (times[8] - times[1]) / 7.0
+    print(f"marginal per-launch cost: {slope:6.2f} ms "
+          f"(vs ~{2 * 128**3 * c * 2 / 8.2e11 * 1e3:.2f} ms bandwidth floor)")
+
+
+def bench_fused_preact():
+    """Fused pre-act chain vs the unfused composition at the flagship block
+    shapes (VANGAN_FUSE_PREACT candidates, ops/pallas/fused_preact.py)."""
+    from vangan_tpu.ops.pallas import fused_preact as FP
+    from vangan_tpu.ops.pallas.instnorm import instance_norm_act
+
+    rng = np.random.default_rng(0)
+    pads = ((1, 1),) * 3
+    for name, ci, co, stride, X, Z in (
+        ("block 16->16", 16, 16, (1, 1, 1), 128, 128),
+        ("enc1 s2 16->32", 16, 32, (2, 2, 2), 128, 128),
+        ("dec0 48->16", 48, 16, (1, 1, 1), 128, 128),
+    ):
+        x = jnp.asarray(rng.normal(size=(1, X, ci, X, Z)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)) * 0.2, jnp.bfloat16)
+        gamma = jnp.ones((ci,), jnp.float32)
+        beta = jnp.zeros((ci,), jnp.float32)
+
+        @jax.jit
+        def fused(x, w):
+            y = FP.preact_conv(x, gamma, beta, w, None, stride, pads,
+                               "reflect", "relu")
+            return jnp.sum(y.astype(jnp.float32))
+
+        @jax.jit
+        def unfused(x, w):
+            t = instance_norm_act(x, gamma, beta, 1e-3, "relu", 0.2)
+            y = conv3d_cxyz(t, w, None, stride, pads, "reflect")
+            return jnp.sum(y.astype(jnp.float32))
+
+        @jax.jit
+        def fused_bwd(x, w):
+            def loss(x, w):
+                y = FP.preact_conv(x, gamma, beta, w, None, stride, pads,
+                                   "reflect", "relu")
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+
+            l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+            return l + jnp.sum(gx.astype(jnp.float32)) + jnp.sum(gw.astype(jnp.float32))
+
+        @jax.jit
+        def unfused_bwd(x, w):
+            def loss(x, w):
+                t = instance_norm_act(x, gamma, beta, 1e-3, "relu", 0.2)
+                y = conv3d_cxyz(t, w, None, stride, pads, "reflect")
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+
+            l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+            return l + jnp.sum(gx.astype(jnp.float32)) + jnp.sum(gw.astype(jnp.float32))
+
+        print(f"{name:16s} fwd: fused {timed(fused, x, w):7.2f} ms  "
+              f"unfused {timed(unfused, x, w):7.2f} ms   "
+              f"fwd+bwd: fused {timed(fused_bwd, x, w):7.2f} ms  "
+              f"unfused {timed(unfused_bwd, x, w):7.2f} ms")
+
+
 def main():
     if "--norm" in sys.argv:
         bench_norm()
+        return
+    if "--launch" in sys.argv:
+        bench_launch_overhead()
+        return
+    if "--fp" in sys.argv:
+        bench_fused_preact()
         return
     use_xla = "--xla" in sys.argv
     conv = conv3d_cxyz_reference if use_xla else conv3d_cxyz
