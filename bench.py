@@ -300,10 +300,13 @@ def run_selftest() -> int:
     """Run the on-chip Pallas parity tests (VERDICT round-1 weak #6) so every
     bench round re-validates kernel correctness on real hardware."""
     os.makedirs(LOG_DIR, exist_ok=True)
+    # no -x: a failure in the (chip-unvalidated) FusedPreact gate class must
+    # not mask the default-path parity tests that validate what the primary
+    # probes actually run — report every failure instead
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_pallas_tpu.py", "-q",
-         "--no-header", "-x"],
-        capture_output=True, text=True, timeout=3600, cwd=REPO,
+         "--no-header"],
+        capture_output=True, text=True, timeout=5400, cwd=REPO,
         env={**os.environ, "JAX_PLATFORMS": "", "VANGAN_TPU_TESTS": "1"},
     )
     with open(os.path.join(LOG_DIR, "selftest.out.log"), "w") as f:

@@ -674,3 +674,154 @@ def test_discriminator_chain_fused_equals_unfused(monkeypatch, rng, train):
         scale = max(float(jnp.max(jnp.abs(a_))), 1e-3 * gmax) + 1e-6
         np.testing.assert_allclose(np.asarray(a_) / scale, np.asarray(b_) / scale,
                                    atol=5e-4, err_msg=jax.tree_util.keystr(k0))
+
+
+# ---------------------------------------------------------------------------
+# ResNet generator family chain (CycleGANResidualBlock: 6 launches -> 3;
+# conv_then_inorm links in the stem/down/up stages).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.quick
+def test_cyclegan_block_fused_equals_unfused(monkeypatch, rng):
+    """CycleGANResidualBlock with VANGAN_FUSE_PREACT on/off: identical param
+    trees, outputs, and gradients (conv1-emit -> inorm1-prologue'd conv2 ->
+    stats-external inorm2 -> identity add)."""
+    from vangan_tpu.models.layers import CycleGANResidualBlock
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 4, 8, 17)), jnp.float32)
+
+    def run(fuse):
+        monkeypatch.setenv("VANGAN_FUSE_PREACT", "1" if fuse else "0")
+        m = CycleGANResidualBlock(4, layout="NXCYZ")
+        with _interp():
+            p = m.init(jax.random.PRNGKey(0), x)
+            y = m.apply(p, x)
+            g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
+        return p, y, g
+
+    p0, y0, g0 = run(False)
+    p1, y1, g1 = run(True)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-4, rtol=1e-4)
+    gmax = max(float(jnp.max(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g0))
+    for (k0, a_), (k1, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        assert jax.tree_util.keystr(k0) == jax.tree_util.keystr(k1)
+        scale = max(float(jnp.max(jnp.abs(a_))), 1e-3 * gmax) + 1e-6
+        np.testing.assert_allclose(np.asarray(a_) / scale, np.asarray(b_) / scale,
+                                   atol=5e-4, err_msg=jax.tree_util.keystr(k0))
+
+
+@pytest.mark.slow
+def test_resnet_generator_chain_fused_equals_unfused(monkeypatch, rng):
+    """Whole ResNetGenerator3D, VANGAN_FUSE_PREACT on/off (eval mode): param
+    tree, output, and gradient parity through stem/down/res/up chains."""
+    from vangan_tpu.models.resnet_generator import ResNetGenerator3D
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 32, 1)), jnp.float32)
+
+    def run(fuse):
+        monkeypatch.setenv("VANGAN_FUSE_PREACT", "1" if fuse else "0")
+        m = ResNetGenerator3D(filters=4, num_downsampling_blocks=1,
+                              num_residual_blocks=2, num_upsample_blocks=1,
+                              layout="NXCYZ")
+        with _interp():
+            p = m.init(jax.random.PRNGKey(0), x)
+            y = m.apply(p, x)
+            g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
+        return p, y, g
+
+    p0, y0, g0 = run(False)
+    p1, y1, g1 = run(True)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4, rtol=2e-4)
+    gmax = max(float(jnp.max(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g0))
+    for (k0, a_), (k1, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        assert jax.tree_util.keystr(k0) == jax.tree_util.keystr(k1)
+        scale = max(float(jnp.max(jnp.abs(a_))), 1e-3 * gmax) + 1e-6
+        np.testing.assert_allclose(np.asarray(a_) / scale, np.asarray(b_) / scale,
+                                   atol=5e-4, err_msg=jax.tree_util.keystr(k0))
+
+
+@pytest.mark.slow
+def test_resunet_attention_deconv_chain_breakers(monkeypatch, rng):
+    """ResUNet3D configs that BREAK the stats chain mid-model (deconv
+    upsampling, attention-gated skips -> stats_in=None at the decoder):
+    fused == unfused values through the stats_op fallback entry points."""
+    from vangan_tpu.models.resunet import ResUNet3D
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 32, 1)), jnp.float32)
+    for kwargs in (
+        dict(upsample_mode="deconv"),
+        dict(upsample_mode="simple", use_attention_gate=True),
+    ):
+        def run(fuse):
+            monkeypatch.setenv("VANGAN_FUSE_PREACT", "1" if fuse else "0")
+            m = ResUNet3D(filters=4, num_layers=2, layout="NXCYZ",
+                          dropout_type="none", **kwargs)
+            with _interp():
+                p = m.init(jax.random.PRNGKey(0), x)
+                return p, m.apply(p, x)
+
+        p0, y0 = run(False)
+        p1, y1 = run(True)
+        assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   atol=2e-4, rtol=2e-4, err_msg=str(kwargs))
+
+
+@pytest.mark.slow
+def test_fused_chain_dp_sharded_step(monkeypatch):
+    """One DP-sharded train step on the 8-device virtual mesh with
+    VANGAN_FUSE_PREACT=1: the chain's (B, C) stats tensors must shard with
+    the batch (per-sample ops — GSPMD should insert no collectives between
+    the conv epilogue and its consumer) and produce finite losses equal to
+    the unfused step's."""
+    import numpy as np_
+    from vangan_tpu.config import VanGanConfig
+    from vangan_tpu.models.factory import build_discriminator, build_generator
+    from vangan_tpu.parallel import jit_train_step, make_mesh, put_batch, put_replicated
+    from vangan_tpu.training.step import make_step_fns
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+
+    def one_step(fuse):
+        monkeypatch.setenv("VANGAN_FUSE_PREACT", "1" if fuse else "0")
+        cfg = VanGanConfig(
+            N_DEVICES=8, BATCH_SIZE=1, SUBVOL_PATCH_SIZE=(16, 16, 16),
+            gen_filters=4, disc_filters=4, cldice_iters=2,
+            output_dir="/tmp/vg_fp_dp",
+        )
+        models = {
+            "gen_IS": build_generator(cfg.gen_i2s, cfg, role="i2s"),
+            "gen_SI": build_generator(cfg.gen_s2i, cfg, role="s2i"),
+            "disc_I": build_discriminator(cfg),
+            "disc_S": build_discriminator(cfg),
+        }
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        mesh = make_mesh(8, cfg.mesh_axis)
+        state = put_replicated(fns.init(jax.random.PRNGKey(0)), mesh)
+        rng_ = np_.random.default_rng(0)
+        gb = cfg.GLOBAL_BATCH_SIZE
+        real_I = put_batch(jnp.asarray(rng_.normal(size=(gb, 16, 16, 16, 1)), jnp.float32), mesh)
+        real_S = put_batch(
+            jnp.asarray((rng_.uniform(size=(gb, 16, 16, 16, 1)) > 0.8) * 2.0 - 1.0, jnp.float32),
+            mesh,
+        )
+        step = jit_train_step(fns, mesh, donate=False, axis_name=cfg.mesh_axis)
+        _, losses = step(state, real_I, real_S, jax.random.PRNGKey(1),
+                         jnp.asarray(0.1, jnp.float32), jnp.asarray(True))
+        return {k: float(v) for k, v in losses.items()}
+
+    l0 = one_step(False)
+    l1 = one_step(True)
+    for k in l0:
+        assert np.isfinite(l1[k]), k
+        np.testing.assert_allclose(l1[k], l0[k], rtol=2e-3, atol=2e-3, err_msg=k)

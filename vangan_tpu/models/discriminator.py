@@ -23,7 +23,7 @@ from vangan_tpu.models.layers import (
     Dtype,
     GaussianNoise,
     InstanceNorm,
-    fused_preact_enabled,
+    conv_then_inorm,
     spatial_dropout,
     to_nxcyz,
     to_nxyzc,
@@ -75,18 +75,16 @@ class PatchGANDiscriminator3D(nn.Module):
             x = nn.SpectralNorm(first_conv)(x, update_stats=train)
             x = nn.leaky_relu(x, 0.2)
         else:
-            inorm0 = InstanceNorm(act="leaky_relu", layout=lt, dtype=self.dtype,
-                                  name="inorm0")
-            if fold_pad and x.ndim == 5 and fused_preact_enabled():
-                # conv0 emits inorm0's stats from its epilogue — the
-                # discriminator chain (see DiscDownsample; the ci=1 input
-                # conv falls back to a jnp stats pass when the Pallas emit
-                # gate rejects it, same math either way)
-                y, m, v = first_conv(x, emit_stats=True)
-                x = inorm0(y, stats=(m, v))
-            else:
-                x = first_conv(x)
-                x = inorm0(x)
+            # conv0 emits inorm0's stats from its epilogue — the
+            # discriminator chain (see DiscDownsample; the ci=1 input conv
+            # falls back to a jnp stats pass when the Pallas emit gate
+            # rejects it, same math either way)
+            x = conv_then_inorm(
+                first_conv,
+                InstanceNorm(act="leaky_relu", layout=lt, dtype=self.dtype,
+                             name="inorm0"),
+                x,
+            )
 
         num_filters = self.filters
         for block in range(self.num_downsampling):

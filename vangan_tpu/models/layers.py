@@ -774,19 +774,18 @@ class DiscDownsample(nn.Module):
             x = nn.SpectralNorm(conv)(x, update_stats=train)
             x = nn.leaky_relu(x, self.leaky_slope)
         else:
-            inorm = InstanceNorm(act="leaky_relu", leaky_slope=self.leaky_slope,
-                                 layout=self.layout, dtype=self.dtype, name="inorm")
-            if fold_pad and x.ndim == 5 and fused_preact_enabled():
-                # discriminator chain (VANGAN_FUSE_PREACT): the conv emits
-                # its output's InstanceNorm stats from the kernel epilogue;
-                # the norm consumes them — no standalone stats launch. The
-                # apply itself cannot fold into the NEXT conv's prologue
-                # here: dropout + scheduled layer noise sit between
-                # (building_blocks.py:126-196), unlike the generator chain.
-                y, m, v = conv(x, emit_stats=True)
-                x = inorm(y, stats=(m, v))
-            else:
-                x = inorm(conv(x))
+            # discriminator chain (VANGAN_FUSE_PREACT): the conv emits its
+            # output's InstanceNorm stats from the kernel epilogue; the norm
+            # consumes them — no standalone stats launch. The apply itself
+            # cannot fold into the NEXT conv's prologue here: dropout +
+            # scheduled layer noise sit between (building_blocks.py:126-196),
+            # unlike the generator chain.
+            x = conv_then_inorm(
+                conv,
+                InstanceNorm(act="leaky_relu", leaky_slope=self.leaky_slope,
+                             layout=self.layout, dtype=self.dtype, name="inorm"),
+                x,
+            )
         if self.use_dropout:
             x = spatial_dropout(
                 self.dropout_rate, n_spatial=x.ndim - 2, name="dropout", layout=self.layout
@@ -794,10 +793,26 @@ class DiscDownsample(nn.Module):
         return x
 
 
+def conv_then_inorm(conv: "ConvND", inorm: "InstanceNorm", x: jnp.ndarray):
+    """conv -> InstanceNorm with the standalone stats launch deleted when the
+    chain fusion is on (VANGAN_FUSE_PREACT, NXCYZ): the conv emits its
+    output's (mean, var) from the kernel epilogue and the norm consumes them
+    (instnorm.apply_with_stats). Identical params and math either way."""
+    if conv.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled():
+        y, m, v = conv(x, emit_stats=True)
+        return inorm(y, stats=(m, v))
+    return inorm(conv(x))
+
+
 class CycleGANResidualBlock(nn.Module):
     """Post-activation residual block of the ResNet generator
     (building_blocks.py:68-123): two reflect-padded 3x3x3 convs with
-    InstanceNorm (he_normal gamma), identity skip."""
+    InstanceNorm (he_normal gamma), identity skip.
+
+    Chain fusion (VANGAN_FUSE_PREACT, NXCYZ): 3 Pallas launches instead of
+    6 — conv1 emits inorm1's stats, inorm1's affine+relu folds into conv2's
+    slab prologue, conv2 emits inorm2's stats, and inorm2 applies
+    stats-externally (the identity add blocks folding it further)."""
 
     dim: int
     layout: str = "NXYZC"
@@ -807,11 +822,23 @@ class CycleGANResidualBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inp = x
         gamma = he_normal_1d
-        x = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect", use_bias=False,
-                   layout=self.layout, dtype=self.dtype, name="conv1")(x)
-        x = InstanceNorm(gamma_init=gamma, act="relu", layout=self.layout,
-                         dtype=self.dtype, name="inorm1")(x)
-        x = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect", use_bias=False,
-                   layout=self.layout, dtype=self.dtype, name="conv2")(x)
-        x = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype, name="inorm2")(x)
+        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
+        conv1 = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
+                       use_bias=False, layout=self.layout, dtype=self.dtype, name="conv1")
+        inorm1 = InstanceNorm(gamma_init=gamma, act="relu", layout=self.layout,
+                              dtype=self.dtype, name="inorm1", defer=fuse)
+        conv2 = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
+                       use_bias=False, layout=self.layout, dtype=self.dtype, name="conv2")
+        inorm2 = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype,
+                              name="inorm2")
+        if fuse:
+            y1, m1, v1 = conv1(x, emit_stats=True)
+            _, g1, b1 = inorm1(y1)
+            y2, m2, v2 = conv2(
+                y1, norm_prologue=(g1, b1, "relu", 0.2, 1e-3),
+                stats=(m1, v1), emit_stats=True,
+            )
+            return inp + inorm2(y2, stats=(m2, v2))
+        x = inorm1(conv1(x))
+        x = inorm2(conv2(x))
         return inp + x

@@ -377,9 +377,11 @@ def _make_conv_op(
         if has_pro:
             inv, a, b = scal
             mean = ops["mean"]
-            sum_gp, sum_xg = IN.bwd_reduce_sums(x, dt, a, b, mean, inv, act, alpha)
-            zero = jnp.zeros_like(sum_gp)
-            grads["x"] = IN.bwd_dx(x, dt, a, b, mean, inv, zero, zero, act, alpha)
+            # one-launch external backward: dx = a*g' plus the two sums
+            # (centering routes to dmean/dvar) — see instnorm.bwd_ext_fused
+            grads["x"], sum_gp, sum_xg = IN.bwd_ext_fused(
+                x, dt, a, b, mean, inv, act, alpha
+            )
             grads["gamma"] = jnp.sum(sum_xg, axis=0)
             grads["beta"] = jnp.sum(sum_gp, axis=0)
             grads["mean"] = -a * sum_gp

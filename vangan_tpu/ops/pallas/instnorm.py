@@ -232,6 +232,34 @@ def _bwd_reduce_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref,
     sxg_ref[0] += _reduce_c1(xhat * gp)
 
 
+def _bwd_ext_fused_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref,
+                          dx_ref, sgp_ref, sxg_ref, *, act: str, alpha: float):
+    """Stats-EXTERNAL backward in ONE pass: dx = a*g' needs no centering
+    constants (they route to dmean/dvar analytically), so the reduce and dx
+    kernels' shared body (gp, xhat) merges — one launch and one HBM read of
+    (x, g) instead of two each. Sequential grid (the sum accumulation)."""
+    i = _linear_step()
+
+    @pl.when(i == 0)
+    def _init():
+        sgp_ref[...] = jnp.zeros_like(sgp_ref)
+        sxg_ref[...] = jnp.zeros_like(sxg_ref)
+
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    sh = x.shape[1:]
+    a = _bcast_c(a_ref[0], sh)
+    b = _bcast_c(b_ref[0], sh)
+    mean = _bcast_c(mean_ref[0], sh)
+    inv = _bcast_c(inv_ref[0], sh)
+    pre = x * a + b
+    gp = g * _act_grad(pre, act, alpha)
+    xhat = (x - mean) * inv
+    dx_ref[0] = (a * gp).astype(dx_ref.dtype)
+    sgp_ref[0] += _reduce_c1(gp)
+    sxg_ref[0] += _reduce_c1(xhat * gp)
+
+
 def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref, c1_ref, c2_ref,
                    dx_ref, *, act: str, alpha: float):
     # Elementwise math in f32: a bf16 body rounds the broadcast c1/c2
@@ -392,6 +420,24 @@ def bwd_reduce_sums(x, g, a, b, mean, inv, act: str, alpha: float):
     return sgp[..., 0], sxg[..., 0]  # (B, C) each
 
 
+def bwd_ext_fused(x, g, a, b, mean, inv, act: str, alpha: float):
+    """One-launch stats-external backward: (dx, sum_gp, sum_xg) with
+    dx = a*g' (zero centering — the external variant's dmean/dvar terms are
+    analytic in the sums). Replaces a bwd_reduce_sums + bwd_dx pair for
+    every pro'd conv and apply_with_stats backward: one HBM read of (x, g)
+    instead of two (see _bwd_ext_fused_kernel)."""
+    bsz, _, c, _, _ = x.shape
+    dx, sgp, sxg = _grid_call(
+        functools.partial(_bwd_ext_fused_kernel, act=act, alpha=alpha),
+        x, [g, a, b, mean, inv],
+        [jax.ShapeDtypeStruct(x.shape, x.dtype),
+         jax.ShapeDtypeStruct((bsz, c, 1), jnp.float32),
+         jax.ShapeDtypeStruct((bsz, c, 1), jnp.float32)],
+        budget=256 * 1024,
+    )
+    return dx, sgp[..., 0], sxg[..., 0]
+
+
 def bwd_dx(x, g, a, b, mean, inv, c1, c2, act: str, alpha: float):
     """dx = a*(g' - c1 - xhat*c2) elementwise; c1/c2 are (B, C) broadcast
     constants (sum_gp/n, sum_xg/n for internal stats; ZEROS for the
@@ -488,9 +534,7 @@ def _apply_ext_fwd(x, mean, var, gamma, beta, eps, act, alpha):
 def _apply_ext_bwd(eps, act, alpha, residuals, g):
     x, (mean, inv, a, b) = residuals
     if instance_norm_act_supported(x.shape, "NXCYZ"):
-        sum_gp, sum_xg = bwd_reduce_sums(x, g, a, b, mean, inv, act, alpha)
-        zero = jnp.zeros_like(sum_gp)
-        dx = bwd_dx(x, g, a, b, mean, inv, zero, zero, act, alpha)
+        dx, sum_gp, sum_xg = bwd_ext_fused(x, g, a, b, mean, inv, act, alpha)
     else:
         xf = x.astype(jnp.float32)
         gf = g.astype(jnp.float32)
