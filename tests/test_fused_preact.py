@@ -825,3 +825,82 @@ def test_fused_chain_dp_sharded_step(monkeypatch):
     for k in l0:
         assert np.isfinite(l1[k]), k
         np.testing.assert_allclose(l1[k], l0[k], rtol=2e-3, atol=2e-3, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Output-activation conv (VNet act-then-norm chain: conv_act_stats ->
+# stats-external apply).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("act", ["relu", "leaky_relu"])
+def test_conv_act_stats_matches_unchained(rng, act):
+    """conv_act_stats -> apply_with_stats(act='none') == conv -> act ->
+    instance_norm_act: values and d/d{x, w, b, gamma, beta} — the VNet block
+    link, incl. the act'-from-stored-output backward."""
+    ci, co = 3, 4
+    x = jnp.asarray(rng.normal(size=(1, 8, ci, 8, 17)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(co,)) * 0.3, jnp.float32)
+    gamma = jnp.asarray(rng.normal(size=(co,)) * 0.4 + 1, jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(co,)) * 0.3, jnp.float32)
+    pads = ((1, 1),) * 3
+
+    def chained(x, w, b, gamma, beta):
+        y, m, v = FP.conv_act_stats(x, w, b, (1, 1, 1), pads, "reflect", act, 0.2)
+        return IN.apply_with_stats(y, m, v, gamma, beta, 1e-3, "none", 0.2)
+
+    def unchained(x, w, b, gamma, beta):
+        y = C.conv3d_cxyz(x, w, b, (1, 1, 1), pads, "reflect")
+        y = jnp.maximum(y, 0) if act == "relu" else jnp.where(y >= 0, y, 0.2 * y)
+        return IN.instance_norm_act(y, gamma, beta, 1e-3, "none", 0.2)
+
+    args = (x, w, b, gamma, beta)
+    with _interp():
+        y_c = chained(*args)
+        y_u = unchained(*args)
+        np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_u),
+                                   atol=1e-4, rtol=1e-4)
+        ct = jnp.asarray(rng.normal(size=y_c.shape), jnp.float32)
+        g_c = jax.grad(lambda *a: jnp.sum(chained(*a) * ct),
+                       argnums=tuple(range(5)))(*args)
+        g_u = jax.grad(lambda *a: jnp.sum(unchained(*a) * ct),
+                       argnums=tuple(range(5)))(*args)
+    for name, a_, b_ in zip(("dx", "dw", "db", "dgamma", "dbeta"), g_c, g_u):
+        scale = float(jnp.max(jnp.abs(b_))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a_) / scale, np.asarray(b_) / scale,
+                                   atol=3e-4, err_msg=name)
+
+
+@pytest.mark.slow
+def test_vnet_chain_fused_equals_unfused(monkeypatch, rng):
+    """VNet3D (use_batch_norm=False -> the IN path) with VANGAN_FUSE_PREACT
+    on/off: identical param trees, outputs, and gradients."""
+    from vangan_tpu.models.vnet import VNet3D
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 32, 1)), jnp.float32)
+
+    def run(fuse):
+        monkeypatch.setenv("VANGAN_FUSE_PREACT", "1" if fuse else "0")
+        m = VNet3D(filters=4, num_layers=2, use_batch_norm=False,
+                   dropout=0.0, layout="NXCYZ")
+        with _interp():
+            p = m.init(jax.random.PRNGKey(0), x)
+            y = m.apply(p, x)
+            g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
+        return p, y, g
+
+    p0, y0, g0 = run(False)
+    p1, y1, g1 = run(True)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4, rtol=2e-4)
+    gmax = max(float(jnp.max(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g0))
+    for (k0, a_), (k1, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        assert jax.tree_util.keystr(k0) == jax.tree_util.keystr(k1)
+        scale = max(float(jnp.max(jnp.abs(a_))), 1e-3 * gmax) + 1e-6
+        np.testing.assert_allclose(np.asarray(a_) / scale, np.asarray(b_) / scale,
+                                   atol=5e-4, err_msg=jax.tree_util.keystr(k0))

@@ -463,3 +463,49 @@ class TestFusedPreactOnChip:
             af, bf = jnp.asarray(a_, jnp.float32), jnp.asarray(b_, jnp.float32)
             s = float(jnp.max(jnp.abs(bf))) + 1e-6
             assert float(jnp.max(jnp.abs(af - bf))) / s < 6e-2, name
+
+    def test_vnet_link_on_chip(self, rng):
+        """VNet chain link on hardware: output-activation conv (relu in the
+        store epilogue, conv3d.py ``oact``) + emitted stats -> stats-external
+        IN apply, bf16 values + grads."""
+        from vangan_tpu.ops.pallas import conv3d as C
+        from vangan_tpu.ops.pallas import fused_preact as FP
+        from vangan_tpu.ops.pallas import instnorm as IN
+
+        ci, co = 16, 16
+        dt = jnp.bfloat16
+        x = jnp.asarray(rng.normal(size=(1, 16, ci, 16, 128)) * 1.5, jnp.float32).astype(dt)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)) * 0.2, jnp.float32).astype(dt)
+        b = jnp.asarray(rng.normal(size=(co,)) * 0.3, jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(co,)) * 0.4 + 1, jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(co,)) * 0.3, jnp.float32)
+        pads = ((1, 1),) * 3
+
+        def chained(x, w, b, gamma, beta):
+            y, m, v = FP.conv_act_stats(x, w, b, (1, 1, 1), pads, "reflect",
+                                        "relu", 0.2)
+            return IN.apply_with_stats(y, m, v, gamma, beta, 1e-3, "none", 0.2)
+
+        def unchained(x, w, b, gamma, beta):
+            y = C.conv3d_cxyz(x, w, b, (1, 1, 1), pads, "reflect")
+            y = jnp.maximum(y, 0)
+            return IN.instance_norm_act(y, gamma, beta, 1e-3, "none", 0.2)
+
+        y_c = jax.jit(chained)(x, w, b, gamma, beta)
+        y_u = jax.jit(unchained)(x, w, b, gamma, beta)
+        yc, yu = jnp.asarray(y_c, jnp.float32), jnp.asarray(y_u, jnp.float32)
+        scale = float(jnp.max(jnp.abs(yu))) + 1e-6
+        assert float(jnp.max(jnp.abs(yc - yu))) / scale < 2e-2
+
+        ct = jnp.asarray(rng.normal(size=y_c.shape), jnp.float32)
+        argnums = (0, 1, 2, 3, 4)
+        g_c = jax.jit(jax.grad(
+            lambda *a: jnp.sum(chained(*a).astype(jnp.float32) * ct),
+            argnums=argnums))(x, w, b, gamma, beta)
+        g_u = jax.jit(jax.grad(
+            lambda *a: jnp.sum(unchained(*a).astype(jnp.float32) * ct),
+            argnums=argnums))(x, w, b, gamma, beta)
+        for name, a_, b_ in zip(("dx", "dw", "db", "dgamma", "dbeta"), g_c, g_u):
+            af, bf = jnp.asarray(a_, jnp.float32), jnp.asarray(b_, jnp.float32)
+            s = float(jnp.max(jnp.abs(bf))) + 1e-6
+            assert float(jnp.max(jnp.abs(af - bf))) / s < 6e-2, name

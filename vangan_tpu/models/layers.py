@@ -145,6 +145,7 @@ class ConvND(nn.Module):
         stats=None,
         emit_stats: bool = False,
         epi=None,
+        act_epi=None,
     ):
         # Chain-fusion surface (ops/pallas/fused_preact.py; NXCYZ 3-D only):
         # - ``norm_prologue`` = (gamma, beta, act, alpha, eps): apply a full
@@ -159,6 +160,10 @@ class ConvND(nn.Module):
         # - ``epi`` = (short, mean_s, var_s, gamma_s, beta_s): fold the
         #   projected-shortcut InstanceNorm apply + residual add into the
         #   store epilogue (y += IN(short), no activation).
+        # - ``act_epi`` = (act, alpha): output-activation epilogue (VNet's
+        #   act-then-norm order) — y = act(conv + bias); emitted stats
+        #   describe the activated tensor. Mutually exclusive with
+        #   norm_prologue/epi.
         # Spatial rank is inferred from the input: 5-D volumes (the default)
         # or 4-D images (cfg.DIMENSIONS == 2 — genuine 2-D support, which the
         # reference half-declares but cannot run: its models are Conv3D-only,
@@ -196,10 +201,11 @@ class ConvND(nn.Module):
         )
         pads = _norm_padding(self.padding, k, stride, dims)
 
-        if norm_prologue is not None or emit_stats or epi is not None or stats is not None:
+        if (norm_prologue is not None or emit_stats or epi is not None
+                or stats is not None or act_epi is not None):
             return self._norm_chain(
                 x, kernel, bias, k, stride, pads, n_sp,
-                norm_prologue, stats, emit_stats, epi,
+                norm_prologue, stats, emit_stats, epi, act_epi,
             )
 
         return self._plain_conv(x, kernel, bias, k, stride, pads, n_sp)
@@ -244,7 +250,7 @@ class ConvND(nn.Module):
 
     def _norm_chain(
         self, x, kernel, bias, k, stride, pads, n_sp,
-        norm_prologue, stats, emit_stats, epi,
+        norm_prologue, stats, emit_stats, epi, act_epi=None,
     ):
         """Chain-fusion dispatch: fully-fused Pallas ops when supported, a
         semantics-identical unfused composition otherwise. The chain kwargs
@@ -252,6 +258,7 @@ class ConvND(nn.Module):
         them); ``norm_prologue`` alone also works on the fallback paths."""
         from vangan_tpu.ops.pallas.fused_preact import (
             chain_conv_supported,
+            conv_act_stats,
             conv_stats,
             preact_conv_ext,
             stats_op,
@@ -259,10 +266,13 @@ class ConvND(nn.Module):
 
         has_pro = norm_prologue is not None
         chain_extra = emit_stats or epi is not None
-        if chain_extra or stats is not None:
+        if chain_extra or stats is not None or act_epi is not None:
             assert self.layout == "NXCYZ" and n_sp == 3, (
-                "stats/emit_stats/epi are NXCYZ 3-D chain-fusion kwargs"
+                "stats/emit_stats/epi/act_epi are NXCYZ 3-D chain-fusion kwargs"
             )
+        assert act_epi is None or (not has_pro and epi is None and stats is None), (
+            "act_epi composes with emit_stats only"
+        )
         n_act, n_alpha, n_eps = ("none", 0.2, 1e-3)
         if has_pro:
             gamma, beta, n_act, n_alpha, n_eps = norm_prologue
@@ -272,6 +282,24 @@ class ConvND(nn.Module):
             and self.layout == "NXCYZ"
             and x.shape[-1] >= self.min_pallas_z
         )
+        if act_epi is not None:
+            oa, oal = act_epi
+            if on_pallas and chain_conv_supported(
+                x.shape, k, stride, pads, self.pad_mode, "none",
+                x.dtype.itemsize, co=self.features, pro=False,
+                emit=emit_stats, epi=False,
+            ) and oa in ("none", "relu", "leaky_relu"):
+                return conv_act_stats(x, kernel, bias, stride, pads,
+                                      self.pad_mode, oa, oal,
+                                      emit_stats=emit_stats)
+            y = self._plain_conv(x, kernel, bias, k, stride, pads, n_sp)
+            if oa == "relu":
+                y = nn.relu(y)
+            elif oa == "leaky_relu":
+                y = nn.leaky_relu(y, oal)
+            if emit_stats:
+                return y, *_jnp_stats(y)
+            return y
         if on_pallas and chain_conv_supported(
             x.shape, k, stride, pads, self.pad_mode, n_act,
             x.dtype.itemsize, co=self.features, pro=has_pro,

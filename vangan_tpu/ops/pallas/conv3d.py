@@ -391,6 +391,7 @@ def _fwd_kernel_b(
     pro: Optional[Tuple[str, float]] = None,
     epi: bool = False,
     stats: bool = False,
+    oact: Optional[Tuple[str, float]] = None,
 ):
     """Tap-stack-free forward ("B formulation", stride-y == 1 only).
 
@@ -479,6 +480,13 @@ def _fwd_kernel_b(
         if epi:
             sblk = sh_ref[0, xo].astype(jnp.float32)
             o3 = o3 + (sblk * epi_bc[0] + epi_bc[1])
+        if oact is not None:
+            # output-activation epilogue (VNet's act-THEN-norm order,
+            # vnet_model.py:119-130): the stored tensor — and hence the
+            # emitted stats — is act(conv + bias)
+            from vangan_tpu.ops.pallas.instnorm import _act_fwd
+
+            o3 = _act_fwd(o3, oact[0], oact[1])
         oq = o3.astype(out_ref.dtype)
         out_ref[0, xo] = oq
         if stats:
@@ -503,6 +511,7 @@ def _fwd_kernel(
     pro: Optional[Tuple[str, float]] = None,
     epi: bool = False,
     stats: bool = False,
+    oact: Optional[Tuple[str, float]] = None,
 ):
     it = iter(refs)
     x_hbm, w_ref = next(it), next(it)
@@ -590,6 +599,11 @@ def _fwd_kernel(
             # InstanceNorm apply + residual add, in f32 before the store)
             sblk = sh_ref[0, xo].astype(jnp.float32)
             o3 = o3 + (sblk * epi_bc[0] + epi_bc[1])
+        if oact is not None:
+            # output-activation epilogue (see _fwd_kernel_b)
+            from vangan_tpu.ops.pallas.instnorm import _act_fwd
+
+            o3 = _act_fwd(o3, oact[0], oact[1])
         oq = o3.astype(out_ref.dtype)
         out_ref[0, pl.ds(xo, 1)] = oq[None]
         if stats:
@@ -703,6 +717,7 @@ def _conv_fwd(
     pro=None,
     epi=None,
     emit_stats: bool = False,
+    oact=None,
 ):
     """Core conv on an x/y-prepadded input.
 
@@ -724,6 +739,11 @@ def _conv_fwd(
     (B, Co) f32: the output is ``conv + bias + short*a_s + b_s`` — the
     projected-shortcut InstanceNorm apply + residual add of
     ResUNetResidualBlock folded into the epilogue (layers.py:497-531).
+
+    ``oact`` = (act, alpha): output-activation epilogue — the stored tensor
+    is ``act(conv + bias [+ epi])`` (VNet's act-then-norm order); emitted
+    stats then describe the ACTIVATED tensor, which is what its consumer
+    InstanceNorm needs.
 
     ``emit_stats``: also return the per-(B, Co) f32 (mean, var) of the
     (epilogue-complete, compute-dtype-rounded) output — the InstanceNorm
@@ -794,6 +814,7 @@ def _conv_fwd(
     db = _db_enabled()
     nslots = 2 if db else 1
     pro_static = (pro[2], pro[3]) if pro is not None else None
+    oact_static = (oact[0], float(oact[1])) if oact is not None else None
     if form_b:
         # y and z carried as MERGED lanes: a free host reshape makes every
         # in-kernel weight product relayout-free
@@ -809,6 +830,7 @@ def _conv_fwd(
             xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
             ys=ys, db=db, pro=pro_static, epi=epi is not None, stats=stats_fused,
+            oact=oact_static,
         )
     else:
         inputs = [xp, _pack_w(w, dtype)]
@@ -821,7 +843,7 @@ def _conv_fwd(
             xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
             unroll=True, db=db, pro=pro_static, epi=epi is not None,
-            stats=stats_fused,
+            stats=stats_fused, oact=oact_static,
         )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),

@@ -511,3 +511,117 @@ def preact_conv(
     if bias is not None:
         return fn(x, gamma, beta, w, bias)
     return fn(x, gamma, beta, w)
+
+
+# ---------------------------------------------------------------------------
+# Output-activation conv (VNet family, vnet_model.py:119-130): the reference
+# applies the conv ACTIVATION BEFORE the norm (Keras Conv3D(activation=...)
+# then IN), so the chainable unit is ``act(conv(x))`` with the activation in
+# the store epilogue — the emitted stats then describe the activated tensor,
+# which is exactly what the following InstanceNorm consumes
+# (instnorm.apply_with_stats with act='none'). Backward recovers act' from
+# the STORED output (relu: y > 0 <=> pre > 0; leaky: sign preserved for
+# alpha > 0), so no pre-activation tensor is ever materialised.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_act_conv(
+    stride: Tuple[int, int, int],
+    pads: Pad3,
+    pad_mode: str,
+    act: str,
+    alpha: float,
+    has_bias: bool,
+    emit: bool,
+):
+    (lox, hix), (loy, hiy), z_pad = pads
+    z_mode = "reflect" if pad_mode == "reflect" else "zeros"
+    has_xy_pad = bool(lox or hix or loy or hiy)
+
+    def _pad(x):
+        if not has_xy_pad:
+            return x
+        mode = "reflect" if pad_mode == "reflect" else "constant"
+        return jnp.pad(
+            x, ((0, 0), (lox, hix), (0, 0), (loy, hiy), (0, 0)), mode=mode
+        )
+
+    @jax.custom_vjp
+    def op(ops):
+        return C._conv_fwd(
+            _pad(ops["x"]), ops["w"], ops.get("bias"), stride, z_pad, z_mode,
+            oact=(act, alpha), emit_stats=emit,
+        )
+
+    def fwd(ops):
+        r = C._conv_fwd(
+            _pad(ops["x"]), ops["w"], ops.get("bias"), stride, z_pad, z_mode,
+            oact=(act, alpha), emit_stats=emit,
+        )
+        y = r[0] if emit else r
+        mean_y = r[1] if emit else None
+        return r, (ops, y, mean_y)
+
+    def bwd(res, g):
+        ops, y, mean_y = res
+        if emit:
+            gy, gm, gv = g
+            n_out = y.shape[1] * y.shape[3] * y.shape[4]
+            gy = (
+                gy.astype(jnp.float32)
+                + _bc(gm) / n_out
+                + _bc(gv) * (2.0 / n_out) * (y.astype(jnp.float32) - _bc(mean_y))
+            )
+        else:
+            gy = g.astype(jnp.float32)
+        # act' from the stored (activated) output — exact for relu (y > 0
+        # <=> pre > 0; both give 0 gradient at the tie) and for leaky_relu
+        # with alpha > 0 (sign-preserving; the pre == 0 tie is measure-zero)
+        yf = y.astype(jnp.float32)
+        if act == "relu":
+            gy = gy * (yf > 0).astype(jnp.float32)
+        elif act == "leaky_relu":
+            gy = gy * jnp.where(yf > 0, 1.0, alpha)
+        g_pre = gy.astype(y.dtype)
+        x, w = ops["x"], ops["w"]
+        xp = _pad(x)
+        dtp = C._conv_dgrad(g_pre, w, xp.shape, stride, z_pad, z_mode).astype(x.dtype)
+        if has_xy_pad:
+            _, pvjp = jax.vjp(_pad, x)
+            (dt,) = pvjp(dtp)
+        else:
+            dt = dtp
+        grads = {"x": dt, "w": C._conv_wgrad(
+            xp, g_pre, w.shape[:3], stride, z_pad, z_mode).astype(w.dtype)}
+        if has_bias:
+            grads["bias"] = jnp.sum(gy, axis=(0, 1, 3, 4), dtype=jnp.float32)
+        return (grads,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def conv_act_stats(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride=1,
+    padding="same",
+    pad_mode: str = "reflect",
+    act: str = "relu",
+    alpha: float = 0.2,
+    emit_stats: bool = True,
+):
+    """act(conv3d_cxyz(x; w, bias)) with the activation in the store epilogue;
+    with ``emit_stats`` also returns the activated output's per-(B, C) f32
+    InstanceNorm (mean, var) — returns (y, mean, var)."""
+    k = tuple(w.shape[:3])
+    stride = C._norm_stride(stride)
+    pads = C._norm_padding(padding, k, stride, (x.shape[1], x.shape[3], x.shape[4]))
+    fn = _make_act_conv(stride, pads, pad_mode, act, float(alpha),
+                        bias is not None, emit_stats)
+    ops = {"x": x, "w": w}
+    if bias is not None:
+        ops["bias"] = bias
+    return fn(ops)
