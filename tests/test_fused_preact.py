@@ -904,3 +904,104 @@ def test_vnet_chain_fused_equals_unfused(monkeypatch, rng):
         scale = max(float(jnp.max(jnp.abs(a_))), 1e-3 * gmax) + 1e-6
         np.testing.assert_allclose(np.asarray(a_) / scale, np.asarray(b_) / scale,
                                    atol=5e-4, err_msg=jax.tree_util.keystr(k0))
+
+
+@pytest.mark.slow
+def test_chain_ops_random_config_fuzz():
+    """Seeded fuzz over the chain-op space (conv_stats / preact_conv_ext /
+    conv_act_stats, random kernels, strides, channel counts, and spatial
+    dims INCLUDING non-block-multiple shapes that force the over-computed-
+    rows jnp stats fallback) — value + gradient parity vs the unchained
+    Pallas composition for every draw."""
+    master = np.random.default_rng(20260818)
+    for trial in range(10):
+        r = np.random.default_rng(master.integers(1 << 31))
+        kk = int(r.integers(1, 4))
+        k = (kk, kk, kk)
+        s = int(r.integers(1, 3))
+        stride = (s, s, s)
+        ci, co = int(r.integers(2, 6)), int(r.integers(2, 6))
+        X = int(r.integers(max(kk, 3), 10))
+        Y = int(r.integers(max(kk, 8), 14))
+        Z = int(r.integers(max(kk, 9), 21))
+        pads = ((kk // 2, kk // 2),) * 3
+        mode = "reflect" if kk > 1 else "zeros"
+        variant = int(r.integers(0, 3))
+        x = jnp.asarray(r.normal(size=(1, X, ci, Y, Z)) * 1.5 + 0.2, jnp.float32)
+        w = jnp.asarray(r.normal(size=(*k, ci, co)) * 0.3, jnp.float32)
+        b = jnp.asarray(r.normal(size=(co,)) * 0.3, jnp.float32) if r.integers(0, 2) else None
+        gamma = jnp.asarray(r.normal(size=(ci,)) * 0.4 + 1, jnp.float32)
+        beta = jnp.asarray(r.normal(size=(ci,)) * 0.3, jnp.float32)
+        go = jnp.asarray(r.normal(size=(co,)) * 0.4 + 1, jnp.float32)
+        bo = jnp.asarray(r.normal(size=(co,)) * 0.3, jnp.float32)
+
+        if variant == 0:
+            # conv emit -> stats-external apply
+            def chained(x, w, go, bo):
+                y, m, v = FP.conv_stats(x, w, b, stride, pads, mode)
+                return IN.apply_with_stats(y, m, v, go, bo, 1e-3, "leaky_relu", 0.2)
+
+            def unchained(x, w, go, bo):
+                y = C.conv3d_cxyz(x, w, b, stride, pads, mode)
+                return IN.instance_norm_act(y, go, bo, 1e-3, "leaky_relu", 0.2)
+
+            args = (x, w, go, bo)
+        elif variant == 1:
+            # stats_op -> prologue'd conv with emit
+            def chained(x, w, gamma, beta):
+                m, v = FP.stats_op(x)
+                y, m2, v2 = FP.preact_conv_ext(
+                    x, m, v, gamma, beta, w, b, stride, pads,
+                    "reflect" if mode == "reflect" else "zeros",
+                    "relu", emit_stats=True)
+                return y * 1.0 + m2.sum() + v2.sum()
+
+            def unchained(x, w, gamma, beta):
+                t = IN.instance_norm_act(x, gamma, beta, 1e-3, "relu", 0.2)
+                y = C.conv3d_cxyz(t, w, b, stride, pads, mode)
+                m2 = jnp.mean(y, axis=(1, 3, 4), dtype=jnp.float32)
+                v2 = jnp.mean(jax.lax.square(y.astype(jnp.float32)
+                                             - m2[:, None, :, None, None]),
+                              axis=(1, 3, 4))
+                return y * 1.0 + m2.sum() + v2.sum()
+
+            if mode != "reflect" and any(p != (0, 0) for p in pads):
+                continue  # pro requires reflect (or pad-free) xy pads
+            args = (x, w, gamma, beta)
+        else:
+            # output-activation conv with emit
+            def chained(x, w, go, bo):
+                y, m, v = FP.conv_act_stats(x, w, b, stride, pads, mode,
+                                            "leaky_relu", 0.2)
+                return IN.apply_with_stats(y, m, v, go, bo, 1e-3, "none", 0.2)
+
+            def unchained(x, w, go, bo):
+                y = C.conv3d_cxyz(x, w, b, stride, pads, mode)
+                y = jnp.where(y > 0, y, 0.2 * y)
+                return IN.instance_norm_act(y, go, bo, 1e-3, "none", 0.2)
+
+            args = (x, w, go, bo)
+
+        try:
+            with _interp():
+                y_c = chained(*args)
+                y_u = unchained(*args)
+                ct = jnp.asarray(r.normal(size=y_c.shape), jnp.float32)
+                g_c = jax.grad(lambda *a: jnp.sum(chained(*a) * ct),
+                               argnums=tuple(range(4)))(*args)
+                g_u = jax.grad(lambda *a: jnp.sum(unchained(*a) * ct),
+                               argnums=tuple(range(4)))(*args)
+            np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_u),
+                                       atol=2e-4, rtol=2e-4)
+            for a_, b_ in zip(g_c, g_u):
+                scale = float(jnp.max(jnp.abs(b_))) + 1e-6
+                np.testing.assert_allclose(np.asarray(a_) / scale,
+                                           np.asarray(b_) / scale, atol=5e-4)
+        except NotImplementedError:
+            continue
+        except AssertionError as e:
+            raise AssertionError(
+                f"chain fuzz trial {trial}: variant={variant} k={k} s={stride} "
+                f"ci={ci} co={co} shape={(X, Y, Z)} mode={mode} "
+                f"bias={b is not None}"
+            ) from e

@@ -299,3 +299,43 @@ class TestSplitStep:
                         jax.tree_util.tree_leaves(s_split.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
         assert int(s_split.step) == 1
+
+
+class TestFlattenedOptimizer:
+    """cfg.flatten_opt ravels each network's Adam moments into one vector
+    (optax.flatten, training/optimizers.py) — identical updates, far fewer
+    launch-sized ops. The per-leaf clipnorm stays outside the flatten."""
+
+    @pytest.mark.quick
+    def test_updates_identical_to_unflattened(self, rng):
+        import optax
+
+        from vangan_tpu.training.optimizers import make_optimizer
+
+        cfg_f = VanGanConfig(N_DEVICES=1, BATCH_SIZE=1, SUBVOL_PATCH_SIZE=(16, 16, 16),
+                             gen_filters=4, output_dir="/tmp/vg_optflat")
+        cfg_u = VanGanConfig(N_DEVICES=1, BATCH_SIZE=1, SUBVOL_PATCH_SIZE=(16, 16, 16),
+                             gen_filters=4, flatten_opt=False,
+                             output_dir="/tmp/vg_optflat")
+        model = ResUNet3D(filters=4, num_layers=2, layout="NXCYZ",
+                          dropout_type="none")
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        grads = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+        # a large-gradient leaf exercises the per-leaf clip too
+        grads = jax.tree_util.tree_map(lambda g: g * 37.0, grads)
+
+        tx_f = make_optimizer(cfg_f, steps_per_epoch=10)
+        tx_u = make_optimizer(cfg_u, steps_per_epoch=10)
+        st_f, st_u = tx_f.init(params), tx_u.init(params)
+        for _ in range(3):  # a few steps so the moments are non-trivial
+            u_f, st_f = tx_f.update(grads, st_f, params)
+            u_u, st_u = tx_u.update(grads, st_u, params)
+        for (kf, a), (ku, b) in zip(
+            jax.tree_util.tree_leaves_with_path(u_f),
+            jax.tree_util.tree_leaves_with_path(u_u),
+        ):
+            assert jax.tree_util.keystr(kf) == jax.tree_util.keystr(ku)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=jax.tree_util.keystr(kf))

@@ -67,6 +67,11 @@ class VanGanConfig:
     wasserstein: bool = False
     ncritic: int = 5
     gp_weight: float = 10.0
+    # ravel each network's Adam moments into one vector (optax.flatten):
+    # identical math, ~6 ops instead of ~600 in the update (see
+    # training/optimizers.py). Changes the optimizer-state checkpoint
+    # layout; set False to restore pre-change optimizer states.
+    flatten_opt: bool = True
 
     # --- loss details (loss_functions.py / clDice_func.py defaults) ---
     cldice_iters: int = 15  # clDice_func.py:122

@@ -58,15 +58,31 @@ def make_lr_schedule(cfg, steps_per_epoch: int) -> Callable[[jnp.ndarray], jnp.n
 
 def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     """Adam(2e-4, b1=.5, b2=.9, per-leaf clipnorm 100) for LSGAN
-    (vangan.py:220-235) or Adam(1e-4, b1=0, b2=.9) for WGAN (vangan.py:197-204)."""
+    (vangan.py:220-235) or Adam(1e-4, b1=0, b2=.9) for WGAN (vangan.py:197-204).
+
+    ``cfg.flatten_opt`` (default on) runs the Adam+LR stage through
+    ``optax.flatten``: per-network the moments live in ONE ravelled vector,
+    so the update is a handful of large elementwise ops instead of ~6 ops x
+    ~100 leaves x 4 networks (~90 ms of the measured 128^3 step was
+    optimizer+schedules, docs/CEILING.md — launch-count, not bandwidth).
+    Identical math (Adam is elementwise); the per-leaf clipnorm stays
+    OUTSIDE the flatten because its semantics are per-tensor. Optimizer
+    checkpoint STATE layout changes with this flag (params are unaffected)."""
     lr = make_lr_schedule(cfg, steps_per_epoch)
+    flat = getattr(cfg, "flatten_opt", True)
+
+    def _maybe_flatten(tx):
+        return optax.flatten(tx) if flat else tx
+
     if cfg.wasserstein:
-        return optax.chain(
+        return _maybe_flatten(optax.chain(
             optax.scale_by_adam(b1=0.0, b2=0.9, eps=1e-7),
             optax.scale_by_learning_rate(lr),
-        )
+        ))
     return optax.chain(
         clip_by_per_leaf_norm(100.0),
-        optax.scale_by_adam(b1=0.5, b2=0.9, eps=1e-7),
-        optax.scale_by_learning_rate(lr),
+        _maybe_flatten(optax.chain(
+            optax.scale_by_adam(b1=0.5, b2=0.9, eps=1e-7),
+            optax.scale_by_learning_rate(lr),
+        )),
     )
