@@ -186,8 +186,14 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
         SUBVOL_PATCH_SIZE=(128, 128, 128),
         compute_dtype="bfloat16",
         # batch 3's monolithic module OOMs the remote compile helper; the
-        # split step (three modules, state-identical math) compiles
-        backward_mode="split" if batch_per_chip >= 3 else "two_phase",
+        # split step (three modules, state-identical math) compiles.
+        # VANGAN_BENCH_MODE overrides for A/B — the chain fusion + flattened
+        # optimizer shrink the module enough that the monolithic modes may
+        # compile again at batch 3.
+        backward_mode=os.environ.get(
+            "VANGAN_BENCH_MODE",
+            "split" if batch_per_chip >= 3 else "two_phase",
+        ),
         # at batch 1 all ten network applications' activations fit in HBM:
         # skipping the per-network remat removes the backward's forward
         # recompute — measured 840 -> 623 ms (1.19 -> 1.61 patches/s/chip,

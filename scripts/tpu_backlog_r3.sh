@@ -41,3 +41,8 @@ timeout 5400 python examples/train_synthetic.py --preset results \
 python bench.py > /tmp/r3_bench_final.log 2>&1
 
 echo "BACKLOG DONE rc=$?"
+
+# 8. monolithic backward retry at batch 3 (the chain + flattened optimizer
+#    shrink the module — the compile-helper OOM may be gone)
+VANGAN_FUSE_PREACT=1 VANGAN_BENCH_MODE=two_phase VANGAN_BENCH_REMAT=0 \
+    timeout 3600 python bench.py --batch 3 > /tmp/r3_fp_b3_mono.log 2>&1
