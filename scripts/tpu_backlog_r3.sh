@@ -37,12 +37,12 @@ timeout 2400 python bench.py --inference > /tmp/r3_inference.log 2>&1
 timeout 5400 python examples/train_synthetic.py --preset results \
     --out /tmp/vg_results_r3 > /tmp/r3_results.log 2>&1
 
-# 7. full bench re-record (selftest + batch 1/3 incl. fused probes + inference)
-python bench.py > /tmp/r3_bench_final.log 2>&1
-
-echo "BACKLOG DONE rc=$?"
-
-# 8. monolithic backward retry at batch 3 (the chain + flattened optimizer
+# 7. monolithic backward retry at batch 3 (the chain + flattened optimizer
 #    shrink the module — the compile-helper OOM may be gone)
 VANGAN_FUSE_PREACT=1 VANGAN_BENCH_MODE=two_phase VANGAN_BENCH_REMAT=0 \
     timeout 3600 python bench.py --batch 3 > /tmp/r3_fp_b3_mono.log 2>&1
+
+# 8. full bench re-record (selftest + batch 1/3 incl. fused probes + inference)
+python bench.py > /tmp/r3_bench_final.log 2>&1
+
+echo "BACKLOG DONE rc=$?"
