@@ -253,6 +253,15 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
                 "value": round(patches_per_sec_per_chip, 4),
                 "unit": "patches/s/chip",
                 "vs_baseline": round(patches_per_sec_per_chip / REF_PATCHES_PER_SEC_PER_CHIP, 4),
+                # provenance: which probe configuration produced this number —
+                # a VANGAN_FUSE_PREACT/remat-off probe winning `max(results)`
+                # must never be indistinguishable from the default config
+                "config": {
+                    "batch_per_chip": batch_per_chip,
+                    "backward_mode": cfg.backward_mode,
+                    "remat": bool(cfg.remat),
+                    "fuse_preact": os.environ.get("VANGAN_FUSE_PREACT", "0") == "1",
+                },
             }
         )
     )

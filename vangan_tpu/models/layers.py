@@ -32,7 +32,7 @@ from vangan_tpu.ops.pallas.conv3d import (
     conv3d_cxyz_reference,
     pallas_active,
 )
-from vangan_tpu.ops.pallas.fused_preact import preact_conv, preact_conv_supported
+from vangan_tpu.ops.pallas.fused_preact import preact_conv
 
 
 def fused_preact_enabled() -> bool:
@@ -347,10 +347,7 @@ class ConvND(nn.Module):
                 layout=self.layout, dtype=y.dtype,
             )
         if emit_stats:
-            mean = jnp.mean(y, axis=(1, 3, 4), dtype=jnp.float32)
-            yc = y.astype(jnp.float32) - mean[:, None, :, None, None]
-            var = jnp.mean(lax.square(yc), axis=(1, 3, 4), dtype=jnp.float32)
-            return y, mean, var
+            return y, *_jnp_stats(y)
         return y
 
 

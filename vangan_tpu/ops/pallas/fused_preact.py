@@ -111,7 +111,13 @@ def _make_fused(
     (lox, hix), (loy, hiy), z_pad = pads
     z_mode = "reflect" if pad_mode == "reflect" else "zeros"
     has_xy_pad = bool(lox or hix or loy or hiy)
-    assert not has_xy_pad or pad_mode == "reflect"  # gate invariant
+    if has_xy_pad and pad_mode != "reflect":
+        # hard error (not assert — must survive python -O): zero x/y pads do
+        # not commute with the prologue (pad voxels would become act(b))
+        raise ValueError(
+            "preact_conv requires reflect (or absent) x/y padding; zero pads "
+            "do not commute with the fused InstanceNorm prologue"
+        )
 
     def _pad(x):
         if not has_xy_pad:
@@ -306,8 +312,12 @@ def _make_conv_op(
     (lox, hix), (loy, hiy), z_pad = pads
     z_mode = "reflect" if pad_mode == "reflect" else "zeros"
     has_xy_pad = bool(lox or hix or loy or hiy)
-    # pro requires pad-transform commutation (see module docstring)
-    assert not (has_pro and has_xy_pad and pad_mode != "reflect")
+    if has_pro and has_xy_pad and pad_mode != "reflect":
+        # hard error (not assert — must survive python -O): see module doc
+        raise ValueError(
+            "stats-external pre-act conv requires reflect (or absent) x/y "
+            "padding; zero pads do not commute with the prologue"
+        )
 
     def _pad(x):
         if not has_xy_pad:
@@ -397,11 +407,21 @@ def _make_conv_op(
         if has_epi:
             inv_s, a_s = epis
             short = ops["short"]
-            gyf = gy.astype(jnp.float32)
-            grads["short"] = (gyf * _bc(a_s)).astype(short.dtype)
-            schat = (short.astype(jnp.float32) - _bc(ops["mean_s"])) * _bc(inv_s)
-            sgp = jnp.sum(gyf, axis=(1, 3, 4))           # (B, C)
-            sxg = jnp.sum(gyf * schat, axis=(1, 3, 4))   # (B, C)
+            b_s = ops["beta_s"][None, :] - ops["mean_s"] * a_s
+            if IN.instance_norm_act_supported(short.shape, "NXCYZ"):
+                # one fused Pallas pass for dshort + both sums (the jnp
+                # axes-(1,3,4) reduction pattern measured ~10x over the
+                # bandwidth floor on this layout, instnorm.py)
+                grads["short"], sgp, sxg = IN.bwd_ext_fused(
+                    short, gy.astype(short.dtype), a_s, b_s,
+                    ops["mean_s"], inv_s, "none", 0.0,
+                )
+            else:
+                gyf = gy.astype(jnp.float32)
+                grads["short"] = (gyf * _bc(a_s)).astype(short.dtype)
+                schat = (short.astype(jnp.float32) - _bc(ops["mean_s"])) * _bc(inv_s)
+                sgp = jnp.sum(gyf, axis=(1, 3, 4))           # (B, C)
+                sxg = jnp.sum(gyf * schat, axis=(1, 3, 4))   # (B, C)
             grads["gamma_s"] = jnp.sum(sxg, axis=0)
             grads["beta_s"] = jnp.sum(sgp, axis=0)
             grads["mean_s"] = -a_s * sgp
