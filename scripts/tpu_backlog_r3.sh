@@ -46,3 +46,7 @@ VANGAN_FUSE_PREACT=1 VANGAN_BENCH_MODE=two_phase VANGAN_BENCH_REMAT=0 \
 python bench.py > /tmp/r3_bench_final.log 2>&1
 
 echo "BACKLOG DONE rc=$?"
+
+# 9. inference A/B with the chain (generator fwd-only — the chain deletes
+#    ~2/3 of the fwd launches)
+VANGAN_FUSE_PREACT=1 timeout 2400 python bench.py --inference > /tmp/r3_fp_inf.log 2>&1
