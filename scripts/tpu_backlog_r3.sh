@@ -42,11 +42,11 @@ timeout 5400 python examples/train_synthetic.py --preset results \
 VANGAN_FUSE_PREACT=1 VANGAN_BENCH_MODE=two_phase VANGAN_BENCH_REMAT=0 \
     timeout 3600 python bench.py --batch 3 > /tmp/r3_fp_b3_mono.log 2>&1
 
-# 8. full bench re-record (selftest + batch 1/3 incl. fused probes + inference)
+# 8. inference A/B with the chain (generator fwd-only — the chain deletes
+#    ~2/3 of the fwd launches)
+VANGAN_FUSE_PREACT=1 timeout 2400 python bench.py --inference > /tmp/r3_fp_inf.log 2>&1
+
+# 9. full bench re-record (selftest + batch 1/3 incl. fused probes + inference)
 python bench.py > /tmp/r3_bench_final.log 2>&1
 
 echo "BACKLOG DONE rc=$?"
-
-# 9. inference A/B with the chain (generator fwd-only — the chain deletes
-#    ~2/3 of the fwd launches)
-VANGAN_FUSE_PREACT=1 timeout 2400 python bench.py --inference > /tmp/r3_fp_inf.log 2>&1
