@@ -260,7 +260,7 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
                     "batch_per_chip": batch_per_chip,
                     "backward_mode": cfg.backward_mode,
                     "remat": bool(cfg.remat),
-                    "fuse_preact": os.environ.get("VANGAN_FUSE_PREACT", "0") == "1",
+                    "fuse_preact": os.environ.get("VANGAN_FUSE_PREACT", "0"),
                 },
             }
         )

@@ -50,3 +50,7 @@ VANGAN_FUSE_PREACT=1 timeout 2400 python bench.py --inference > /tmp/r3_fp_inf.l
 python bench.py > /tmp/r3_bench_final.log 2>&1
 
 echo "BACKLOG DONE rc=$?"
+
+# NOTE: if stage 0 fails ONLY on the emit/epi/oact arms (chain epilogues),
+# retry the step A/B with the prologue-only degradation:
+#   VANGAN_FUSE_PREACT=pro python bench.py --batch 1

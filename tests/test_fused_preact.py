@@ -1005,3 +1005,58 @@ def test_chain_ops_random_config_fuzz():
                 f"ci={ci} co={co} shape={(X, Y, Z)} mode={mode} "
                 f"bias={b is not None}"
             ) from e
+
+
+@pytest.mark.quick
+def test_pro_only_mode_block_parity(monkeypatch, rng):
+    """VANGAN_FUSE_PREACT='pro' (graceful degradation: prologue folding via
+    the monolithic preact_conv, NO emitted stats / epilogues): CycleGAN block
+    values+grads match the flag-off graph; param tree identical."""
+    from vangan_tpu.models.layers import CycleGANResidualBlock
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 4, 8, 17)), jnp.float32)
+
+    def run(mode):
+        monkeypatch.setenv("VANGAN_FUSE_PREACT", mode)
+        m = CycleGANResidualBlock(4, layout="NXCYZ")
+        with _interp():
+            p = m.init(jax.random.PRNGKey(0), x)
+            y = m.apply(p, x)
+            g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
+        return p, y, g
+
+    p0, y0, g0 = run("0")
+    p1, y1, g1 = run("pro")
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-4, rtol=1e-4)
+    gmax = max(float(jnp.max(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g0))
+    for (k0, a_), (k1, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        scale = max(float(jnp.max(jnp.abs(a_))), 1e-3 * gmax) + 1e-6
+        np.testing.assert_allclose(np.asarray(a_) / scale, np.asarray(b_) / scale,
+                                   atol=5e-4, err_msg=jax.tree_util.keystr(k0))
+
+
+@pytest.mark.slow
+def test_pro_only_mode_resunet_parity(monkeypatch, rng):
+    """'pro' mode through the whole ResUNet: the chain wiring must NOT
+    engage (no stats threading) while every PreActConvBlock still folds its
+    prologue — values match the flag-off model."""
+    from vangan_tpu.models.resunet import ResUNet3D
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 32, 1)), jnp.float32)
+
+    def run(mode):
+        monkeypatch.setenv("VANGAN_FUSE_PREACT", mode)
+        m = ResUNet3D(filters=4, num_layers=2, upsample_mode="simple",
+                      layout="NXCYZ", dropout_type="none")
+        with _interp():
+            p = m.init(jax.random.PRNGKey(0), x)
+            return p, m.apply(p, x)
+
+    p0, y0 = run("0")
+    p1, y1 = run("pro")
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4, rtol=2e-4)

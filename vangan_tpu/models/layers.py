@@ -35,13 +35,26 @@ from vangan_tpu.ops.pallas.conv3d import (
 from vangan_tpu.ops.pallas.fused_preact import preact_conv
 
 
+def fused_preact_mode() -> str:
+    """VANGAN_FUSE_PREACT: '0' (off, default until chip-validated), '1'
+    (full chain: prologue + emitted stats + epi/oact epilogues), or 'pro'
+    (prologue-only graceful degradation — the IN affine+act still folds into
+    each consumer conv via the monolithic preact_conv, but no stats are
+    emitted or threaded; use when the chip gate passes the prologue arm but
+    fails an epilogue arm). Parameter trees are IDENTICAL in every mode —
+    the flag can flip between checkpoint save/load."""
+    v = os.environ.get("VANGAN_FUSE_PREACT", "0")
+    return v if v in ("0", "1", "pro") else "0"
+
+
 def fused_preact_enabled() -> bool:
-    """Pre-act blocks fold the InstanceNorm affine+act into the consumer
-    conv's slab prologue (ops/pallas/fused_preact.py) when enabled. Default
-    OFF until chip-validated (interpret-mode semantics are test-proven; a
-    Mosaic lowering failure only shows on hardware). Parameter trees are
-    IDENTICAL either way — the flag can flip between checkpoint save/load."""
-    return os.environ.get("VANGAN_FUSE_PREACT", "0") == "1"
+    """Whether any prologue folding is on (see fused_preact_mode)."""
+    return fused_preact_mode() in ("1", "pro")
+
+
+def fused_chain_enabled() -> bool:
+    """Whether the FULL chain (emitted stats, epi/oact epilogues) is on."""
+    return fused_preact_mode() == "1"
 
 Dtype = Any
 
@@ -609,8 +622,10 @@ class Stem(nn.Module):
     def __call__(self, x: jnp.ndarray, emit_stats: bool = False):
         # conv1 feeds conv_block's InstanceNorm and shortcut feeds
         # shortcut_norm directly: biases there are exactly cancelled by the
-        # IN mean-subtraction (dead params; see PreActConvBlock docstring)
-        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
+        # IN mean-subtraction (dead params; see PreActConvBlock docstring).
+        # Chain wiring needs the FULL mode; in 'pro' mode the plain structure
+        # runs and each PreActConvBlock folds its prologue internally.
+        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_chain_enabled()
         conv1 = ConvND(
             self.filters, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
             use_bias=False, layout=self.layout, dtype=self.dtype, name="conv1",
@@ -672,8 +687,9 @@ class ResUNetResidualBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False, stats_in=None,
                  emit_stats: bool = False):
         # block1's conv feeds block2's InstanceNorm and shortcut feeds
-        # shortcut_norm directly: biases there are dead (IN-cancelled)
-        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
+        # shortcut_norm directly: biases there are dead (IN-cancelled).
+        # Chain wiring needs the FULL mode (see Stem).
+        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_chain_enabled()
         do = make_dropout(self.dropout_type, self.dropout, n_spatial=x.ndim - 2,
                           layout=self.layout)
         block1 = PreActConvBlock(
@@ -823,7 +839,7 @@ def conv_then_inorm(conv: "ConvND", inorm: "InstanceNorm", x: jnp.ndarray):
     chain fusion is on (VANGAN_FUSE_PREACT, NXCYZ): the conv emits its
     output's (mean, var) from the kernel epilogue and the norm consumes them
     (instnorm.apply_with_stats). Identical params and math either way."""
-    if conv.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled():
+    if conv.layout == "NXCYZ" and x.ndim == 5 and fused_chain_enabled():
         y, m, v = conv(x, emit_stats=True)
         return inorm(y, stats=(m, v))
     return inorm(conv(x))
@@ -847,16 +863,19 @@ class CycleGANResidualBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inp = x
         gamma = he_normal_1d
-        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
+        on_l = self.layout == "NXCYZ" and x.ndim == 5
+        chain = on_l and fused_chain_enabled()
+        pro_only = on_l and not chain and fused_preact_enabled()
         conv1 = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
                        use_bias=False, layout=self.layout, dtype=self.dtype, name="conv1")
         inorm1 = InstanceNorm(gamma_init=gamma, act="relu", layout=self.layout,
-                              dtype=self.dtype, name="inorm1", defer=fuse)
+                              dtype=self.dtype, name="inorm1",
+                              defer=chain or pro_only)
         conv2 = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
                        use_bias=False, layout=self.layout, dtype=self.dtype, name="conv2")
         inorm2 = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype,
                               name="inorm2")
-        if fuse:
+        if chain:
             y1, m1, v1 = conv1(x, emit_stats=True)
             _, g1, b1 = inorm1(y1)
             y2, m2, v2 = conv2(
@@ -864,6 +883,13 @@ class CycleGANResidualBlock(nn.Module):
                 stats=(m1, v1), emit_stats=True,
             )
             return inp + inorm2(y2, stats=(m2, v2))
+        if pro_only:
+            # 'pro' degradation: inorm1 still folds into conv2's prologue
+            # (monolithic preact_conv, internal stats); no emitted stats
+            y1 = conv1(x)
+            _, g1, b1 = inorm1(y1)
+            y2 = conv2(y1, norm_prologue=(g1, b1, "relu", 0.2, 1e-3))
+            return inp + inorm2(y2)
         x = inorm1(conv1(x))
         x = inorm2(conv2(x))
         return inp + x

@@ -72,9 +72,9 @@ class ResUNet3D(nn.Module):
         # per-(B, C) stats concatenate along C through the skip concat;
         # 'deconv'/attention break the chain at that point (stats=None ->
         # the consumer computes its own).
-        from vangan_tpu.models.layers import fused_preact_enabled
+        from vangan_tpu.models.layers import fused_chain_enabled
 
-        chain = lt == "NXCYZ" and fused_preact_enabled()
+        chain = lt == "NXCYZ" and fused_chain_enabled()
 
         def _split(r, want):
             return (r[0], (r[1], r[2])) if want else (r, None)

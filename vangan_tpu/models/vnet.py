@@ -55,7 +55,7 @@ class VNetConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from vangan_tpu.models.layers import fused_preact_enabled
+        from vangan_tpu.models.layers import fused_chain_enabled
 
         for i in range(2):
             conv = ConvND(
@@ -64,7 +64,7 @@ class VNetConvBlock(nn.Module):
                 name=f"conv{i}",
             )
             fuse = (not self.use_batch_norm and self.layout == "NXCYZ"
-                    and x.ndim == 5 and fused_preact_enabled())
+                    and x.ndim == 5 and fused_chain_enabled())
             if fuse:
                 # act-then-norm chain (VANGAN_FUSE_PREACT): the relu runs in
                 # the conv's store epilogue and the activated output's IN
