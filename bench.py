@@ -415,7 +415,11 @@ def main() -> None:
         sys.stderr.write(f"[bench] {tb}\n")
         failures.append({"probe": "backend", "rc": -1, "traceback": tb})
         _write_summary(None, None, failures)
-        raise SystemExit("bench aborted: TPU backend unreachable; see bench_logs/summary.json")
+        raise SystemExit(
+            "bench aborted: TPU backend unreachable; see bench_logs/summary.json. "
+            "Builder-measured round-3 numbers are preserved in docs/BENCH_SESSION_r3.md "
+            "(the axon tunnel daemon died mid-round, 2026-08-17T20:00)."
+        )
 
     dry_run = len(sys.argv) > 1 and sys.argv[1] == "--dry-run-failure"
     if dry_run:
