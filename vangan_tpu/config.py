@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -223,3 +224,8 @@ def save_args(cfg, filename: str) -> None:
         f.write("Command line arguments:\n")
         for arg, value in items:
             f.write(f"{arg}: {format_value(value)}\n")
+        # runtime env toggles that shape the compiled program (reproducibility)
+        for env in ("VANGAN_FUSE_PREACT", "VANGAN_CONV_DB", "VANGAN_CONV_STACK",
+                    "VANGAN_CONV_YB_MAX"):
+            if env in os.environ:
+                f.write(f"env {env}: {os.environ[env]}\n")
