@@ -54,3 +54,6 @@ echo "BACKLOG DONE rc=$?"
 # NOTE: if stage 0 fails ONLY on the emit/epi/oact arms (chain epilogues),
 # retry the step A/B with the prologue-only degradation:
 #   VANGAN_FUSE_PREACT=pro python bench.py --batch 1
+# If only the DUAL block-entry kernel fails (conv3d dual arm), disable it
+# alone and keep the rest of the chain:
+#   VANGAN_FUSE_PREACT=1 VANGAN_FUSE_DUAL=0 python bench.py --batch 1

@@ -1060,3 +1060,55 @@ def test_pro_only_mode_resunet_parity(monkeypatch, rng):
     p1, y1 = run("pro")
     assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("s,pro", [(1, True), (2, True), (1, False), (2, False)])
+def test_dual_entry_matches_two_ops(rng, s, pro):
+    """dual_entry (one launch, one slab read for the residual-block entry)
+    == the separate preact/conv_stats composition: all six outputs and all
+    grads, strides 1/2, with and without the prologue."""
+    ci, co1, cos = (4, 4, 4) if pro else (4, 6, 6)
+    x = jnp.asarray(rng.normal(size=(1, 8, ci, 8, 17)) * 1.5 + 0.2, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co1)) * 0.3, jnp.float32)
+    ws = jnp.asarray(rng.normal(size=(1, 1, 1, ci, cos)) * 0.3, jnp.float32)
+    g0 = jnp.asarray(rng.normal(size=(ci,)) * 0.4 + 1, jnp.float32)
+    b0 = jnp.asarray(rng.normal(size=(ci,)) * 0.3, jnp.float32)
+    pads = ((1, 1),) * 3
+    st = (s, s, s)
+
+    def dual(x, w1, ws, g0, b0):
+        return FP.dual_entry(x, None, g0 if pro else None,
+                             b0 if pro else None, w1, ws, st)
+
+    def two(x, w1, ws, g0, b0):
+        if pro:
+            m, v = FP.stats_op(x)
+            r1, m1, v1 = FP.preact_conv_ext(x, m, v, g0, b0, w1, None, st,
+                                            pads, "reflect", "relu",
+                                            emit_stats=True)
+        else:
+            r1, m1, v1 = FP.conv_stats(x, w1, None, st, pads, "reflect")
+        sc, mS, vS = FP.conv_stats(x, ws, None, st, ((0, 0),) * 3, "zeros")
+        return r1, m1, v1, sc, mS, vS
+
+    args = (x, w1, ws, g0, b0)
+    with _interp():
+        rd = dual(*args)
+        rt = two(*args)
+        for n_, a, b in zip(("r1", "m1", "v1", "sc", "ms", "vs"), rd, rt):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-4, err_msg=n_)
+        cts = [jnp.asarray(rng.normal(size=t.shape), jnp.float32) for t in rd]
+
+        def loss(fn):
+            def go(*a):
+                return sum(jnp.sum(t * c) for t, c in zip(fn(*a), cts))
+            return go
+
+        gd = jax.grad(loss(dual), argnums=tuple(range(5)))(*args)
+        gt = jax.grad(loss(two), argnums=tuple(range(5)))(*args)
+    for n_, a, b in zip(("dx", "dw1", "dws", "dg", "db"), gd, gt):
+        sc_ = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / sc_, np.asarray(b) / sc_,
+                                   atol=5e-4, err_msg=n_)

@@ -159,6 +159,7 @@ class ConvND(nn.Module):
         emit_stats: bool = False,
         epi=None,
         act_epi=None,
+        export_params: bool = False,
     ):
         # Chain-fusion surface (ops/pallas/fused_preact.py; NXCYZ 3-D only):
         # - ``norm_prologue`` = (gamma, beta, act, alpha, eps): apply a full
@@ -204,6 +205,11 @@ class ConvND(nn.Module):
             else None
         )
         dtype = self.dtype or x.dtype
+        if export_params:
+            # dual block-entry composition (fused_preact.dual_entry): the
+            # PARENT fuses this conv with a sibling in one kernel — create
+            # the identical params and hand them over instead of computing
+            return kernel.astype(dtype), bias
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         stride = _norm_stride(self.strides, n_sp)
@@ -582,7 +588,7 @@ class PreActConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, stats_in=None, emit_stats: bool = False,
-                 epi=None):
+                 epi=None, export_params: bool = False):
         # Pre-act fusion (VANGAN_FUSE_PREACT): defer the norm into the conv's
         # slab prologue. Param tree and semantics are identical either way;
         # ConvND falls back to the unfused composition when the fused kernels
@@ -591,8 +597,17 @@ class PreActConvBlock(nn.Module):
         # the NXCYZ layout (the blocks gate before passing).
         fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
         norm_act = NormAct(layout=self.layout, dtype=self.dtype,
-                           name="norm_act", defer=fuse)
+                           name="norm_act", defer=fuse or export_params)
         p = self.kernel_size // 2
+        if export_params:
+            _, gamma, beta = norm_act(x)
+            kernel, bias = ConvND(
+                self.filters, self.kernel_size, self.strides,
+                padding=uniform_pads(p, x), pad_mode="reflect",
+                use_bias=self.use_bias, layout=self.layout,
+                dtype=self.dtype, name="conv",
+            )(x, export_params=True)
+            return gamma, beta, kernel, bias
         if fuse:
             x, gamma, beta = norm_act(x)
             return ConvND(
@@ -709,8 +724,30 @@ class ResUNetResidualBlock(nn.Module):
             # emitted out-stats describe the PRE-dropout tensor; with live
             # dropout the chain must not propagate them
             emit_out = emit_stats and (do is None or not train)
-            r1, m1, v1 = block1(x, stats_in=stats_in, emit_stats=True)
-            sc, m_s, v_s = shortcut_conv(x, emit_stats=True)
+            from vangan_tpu.ops.pallas.fused_preact import (
+                dual_entry,
+                dual_entry_supported,
+            )
+
+            stride3 = _norm_stride(self.strides, 3)
+            use_dual = (
+                os.environ.get("VANGAN_FUSE_DUAL", "1") != "0"
+                and dual_entry_supported(
+                    x.shape, stride3, self.filters, self.filters,
+                    jnp.dtype(self.dtype or x.dtype).itemsize, pro=True,
+                )
+            )
+            if use_dual:
+                # block1's pro'd 3^3 conv + the 1^3 shortcut in ONE launch
+                # from ONE slab read (both read x; fused_preact.dual_entry)
+                g1, b1, k1, _ = block1(x, export_params=True)
+                ks, _ = shortcut_conv(x, export_params=True)
+                r1, m1, v1, sc, m_s, v_s = dual_entry(
+                    x.astype(k1.dtype), stats_in, g1, b1, k1, ks, stride3,
+                )
+            else:
+                r1, m1, v1 = block1(x, stats_in=stats_in, emit_stats=True)
+                sc, m_s, v_s = shortcut_conv(x, emit_stats=True)
             _, gamma_s, beta_s = shortcut_norm(sc)
             r = block2(
                 r1, stats_in=(m1, v1), emit_stats=emit_out,

@@ -373,6 +373,24 @@ def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin, pro=None):
     return jnp.stack(taps, axis=0).reshape(kx * ky * ci, yb * zin)
 
 
+def _shortcut_row(x_vmem, slot, xo, *, yb, stride, ci, zin, offx, offy):
+    """The RAW (un-transformed) 1^3-tap patch matrix for the dual block-entry
+    kernel: output row ``xo``'s shortcut input — slab row sx*xo + offx, y
+    positions offy + sy*j — as (Ci, yb*Zp). ``offx/offy`` are the main conv's
+    x/y pad widths (the slab holds the PADDED tensor; the shortcut conv reads
+    the unpadded one). Same strided-y parity trick as _tap_matrix."""
+    sx, sy, _ = stride
+    row = x_vmem[slot, sx * xo + offx]  # (Ci, ys, Zp)
+    if sy == 1:
+        t = row[:, offy : offy + yb]
+    elif sy == 2:
+        rp = row.reshape(ci, row.shape[1] // 2, 2, zin)
+        t = rp[:, offy // 2 : offy // 2 + yb, offy % 2]
+    else:  # pragma: no cover
+        raise NotImplementedError(f"y stride {sy}")
+    return t.reshape(ci, yb * zin)
+
+
 def _fwd_kernel_b(
     *refs,
     xb: int,
@@ -512,6 +530,8 @@ def _fwd_kernel(
     epi: bool = False,
     stats: bool = False,
     oact: Optional[Tuple[str, float]] = None,
+    dual: Optional[int] = None,
+    doffs: Tuple[int, int] = (0, 0),
 ):
     it = iter(refs)
     x_hbm, w_ref = next(it), next(it)
@@ -522,9 +542,14 @@ def _fwd_kernel(
     sh_ref = next(it) if epi else None
     ea_ref = next(it) if epi else None
     eb_ref = next(it) if epi else None
+    ws_ref = next(it) if dual is not None else None
+    ss_ref = next(it) if dual is not None else None
     out_ref = next(it)
     mean_ref = next(it) if stats else None
     m2_ref = next(it) if stats else None
+    outs_ref = next(it) if dual is not None else None
+    means_ref = next(it) if dual is not None and stats else None
+    m2s_ref = next(it) if dual is not None and stats else None
     x_vmem, sem = next(it), next(it)
     kx, ky, kz = k
     sx, sy, sz = stride
@@ -608,6 +633,25 @@ def _fwd_kernel(
         out_ref[0, pl.ds(xo, 1)] = oq[None]
         if stats:
             _stats_row_update(oq, mean_ref, m2_ref, xo, xb, yb * zo)
+        if dual is not None:
+            # dual block-entry (fused_preact.dual_entry): the projected
+            # 1^3-shortcut conv of the SAME input, from the SAME slab — one
+            # launch and one slab DMA for the residual block's two x-readers.
+            # The shortcut reads RAW rows (no prologue); its z stride/trim
+            # runs through one always-applied select matrix.
+            p_s = _shortcut_row(x_vmem, slot, xo, yb=yb, stride=stride,
+                                ci=ci, zin=zin, offx=doffs[0], offy=doffs[1])
+            ws2 = ws_ref[:]  # (Cos, Ci)
+            if ci < 8 and p_s.dtype != jnp.float32:
+                # degenerate-K bf16 dots miscompile (see above)
+                p_s, ws2 = p_s.astype(jnp.float32), ws2.astype(jnp.float32)
+            os_ = jnp.dot(ws2, p_s, preferred_element_type=jnp.float32)
+            os2 = os_.reshape(dual * yb, zin).astype(x_vmem.dtype)
+            oss = jnp.dot(os2, ss_ref[:], preferred_element_type=jnp.float32)
+            osq = oss.reshape(dual, yb, zo).astype(outs_ref.dtype)
+            outs_ref[0, pl.ds(xo, 1)] = osq[None]
+            if stats:
+                _stats_row_update(osq, means_ref, m2s_ref, xo, xb, yb * zo)
         return 0
 
     if unroll:  # fastest; the fori_loop variant reuses VMEM stack instead
@@ -630,7 +674,7 @@ def _per_xo_bytes(yb, k, ci, co, zp, itemsize) -> int:
 
 
 def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize, form_b=False,
-                 pro=False, stats=False, epi=False) -> int:
+                 pro=False, stats=False, epi=False, dual_cos=0) -> int:
     kx, ky, kz = k
     ys = _round_up(stride[1] * (yb - 1) + ky, 8)
     nslots = 2 if _db_enabled() else 1  # double-buffered slab (round 3)
@@ -645,7 +689,13 @@ def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize, form_b=False,
     # + the two f32 affine broadcast constants
     epi_bytes = ((2 * co * yb * zp * itemsize)
                  + (xb + 2) * co * yb * zp * 4) if epi else 0
-    extra = pro_bytes + stats_bytes + epi_bytes
+    # dual block-entry: per-xo raw patch row + two f32 shortcut products +
+    # the cast intermediate, plus the shortcut stats accumulator temps
+    dual_bytes = (
+        xb * yb * zp * (ci * itemsize + dual_cos * (8 + itemsize))
+        + (xb * (2 * dual_cos * yb * zp + 3 * dual_cos * zp) * 4 if stats else 0)
+    ) if dual_cos else 0
+    extra = pro_bytes + stats_bytes + epi_bytes + dual_bytes
     if form_b:
         # explicit B scratch + small per-xo accumulate/select temporaries
         fixed = ky * kz * co * ys * zp * 4
@@ -655,18 +705,19 @@ def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize, form_b=False,
 
 
 def _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b=False,
-             pro=False, stats=False, epi=False) -> int:
+             pro=False, stats=False, epi=False, dual_cos=0) -> int:
     """Largest x block whose unrolled VMEM stack fits (1 as the floor)."""
     for xb in (8, 4, 2):
         if xo_dim % xb == 0 and _stack_bytes(
-            xb, yb, k, stride, ci, co, zp, itemsize, form_b, pro, stats, epi
+            xb, yb, k, stride, ci, co, zp, itemsize, form_b, pro, stats, epi,
+            dual_cos,
         ) <= _VMEM_BUDGET:
             return xb
     return 1
 
 
 def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False,
-                 pro=False, stats=False, epi=False):
+                 pro=False, stats=False, epi=False, dual_cos=0):
     """(xb, yb): bigger y blocks amortise per-block DMA latency (measured 21%
     at yb=16 on the 16ch 128^3 conv; no further gain at 32) unless they starve
     the x block below 4."""
@@ -686,11 +737,11 @@ def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False,
         if (sy * yb) % 8 or yo_dim % yb:
             continue
         xb = _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b, pro,
-                      stats, epi)
+                      stats, epi, dual_cos)
         if yb == 8 or xb >= 4:
             return xb, yb
     return _plan_xb(xo_dim, 8, k, stride, ci, co, zp, itemsize, form_b, pro,
-                    stats, epi), 8
+                    stats, epi, dual_cos), 8
 
 
 def conv3d_cxyz_fits(x_shape, k, stride, itemsize=2, co=None) -> bool:
@@ -718,6 +769,7 @@ def _conv_fwd(
     epi=None,
     emit_stats: bool = False,
     oact=None,
+    dual=None,
 ):
     """Core conv on an x/y-prepadded input.
 
@@ -751,6 +803,16 @@ def _conv_fwd(
     (Chan-merged per output row). Falls back to a jnp pass over the output
     when block rounding would over-compute rows (stats must only see real
     voxels). Returns (y, mean, var) instead of y.
+
+    ``dual`` = (ws, offx, offy) with ws (1, 1, 1, Ci, Cos): ALSO compute the
+    projected 1^3-shortcut conv of the SAME (unpadded) input from the same
+    slab — the residual block's two readers of x in one launch with one slab
+    DMA (fused_preact.dual_entry). offx/offy are the main conv's x/y lo-pad
+    widths (the slab holds the padded tensor; the shortcut reads raw rows at
+    that offset). The shortcut is bias-free, un-prologued, zero-z-pad; its
+    output spatial dims equal the main conv's (caller-checked). Tap form
+    only. Returns ``(y, [mean, var,] ys, [mean_s, var_s])`` appended per the
+    emit flags.
     """
     b, xdim, ci, ydim, zin = xp.shape
     kx, ky, kz, wci, co = w.shape
@@ -786,12 +848,15 @@ def _conv_fwd(
         sy == 1 and ci >= 2 and co >= 2
         and ((ci >= 32 and co <= 32) or (kx == ky == kz == 1))
         and not _os.environ.get("VANGAN_CONV_NO_FORM_B")
+        and dual is None  # the dual shortcut arm is tap-form only
     )
+    dual_cos = dual[0].shape[-1] if dual is not None else 0
 
     # Blocks: computed output is rounded up to a block multiple and trimmed.
     xb, yb = _plan_blocks(xo_dim, yo_dim, (kx, ky, kz), stride, ci, co, zp,
                           xp.dtype.itemsize, form_b=form_b, pro=pro is not None,
-                          stats=emit_stats, epi=epi is not None)
+                          stats=emit_stats, epi=epi is not None,
+                          dual_cos=dual_cos)
     xo_c = _round_up(xo_dim, xb)
     yo_c = _round_up(yo_dim, yb)
     # In-kernel stats accumulate REAL rows only: over-computed rows (block
@@ -844,6 +909,8 @@ def _conv_fwd(
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
             unroll=True, db=db, pro=pro_static, epi=epi is not None,
             stats=stats_fused, oact=oact_static,
+            dual=dual_cos or None,
+            doffs=(dual[1], dual[2]) if dual is not None else (0, 0),
         )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -880,6 +947,17 @@ def _conv_fwd(
             inputs.append(arr.reshape(-1, co, 1).astype(jnp.float32))
             in_specs.append(co_spec)
 
+    if dual is not None:
+        ws, _, _ = dual
+        # (Cos, Ci) weight matrix + the always-applied (Zp, Zo) z select of
+        # the bias-free zero-pad 1^3 shortcut conv
+        inputs.append(jnp.asarray(ws[0, 0, 0].T, dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        mats_s = _z_selects(1, zin, zo, sz, 0, "zeros")
+        ss = np.pad(mats_s[0], ((0, zp - zin), (0, 0)))
+        inputs.append(jnp.asarray(ss, dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
     out_specs = out_blk
     out_shape = jax.ShapeDtypeStruct((b, xo_c, co, yo_c, zo), dtype)
     if stats_fused:
@@ -889,6 +967,19 @@ def _conv_fwd(
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, co, 1), jnp.float32),
                      jax.ShapeDtypeStruct((b, co, 1), jnp.float32)]
+    if dual is not None:
+        out_specs = out_specs if isinstance(out_specs, list) else [out_specs]
+        out_shape = out_shape if isinstance(out_shape, list) else [out_shape]
+        out_specs.append(pl.BlockSpec(
+            (1, xb, dual_cos, yb, zo), lambda bi, i, j: (bi, i, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(jax.ShapeDtypeStruct((b, xo_c, dual_cos, yo_c, zo), dtype))
+        if stats_fused:
+            sspec = pl.BlockSpec((1, dual_cos, 1), lambda bi, i, j: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            out_specs += [sspec, sspec]
+            out_shape += [jax.ShapeDtypeStruct((b, dual_cos, 1), jnp.float32)] * 2
 
     r = pl.pallas_call(
         kernel,
@@ -902,21 +993,41 @@ def _conv_fwd(
         ),
         interpret=_interpret(),
     )(*inputs)
-    y = r[0] if stats_fused else r
-    if (xo_c, yo_c) != (xo_dim, yo_dim):
-        y = y[:, :xo_dim, :, :yo_dim]
-    if not emit_stats:
-        return y
-    if stats_fused:
-        n = xo_dim * yo_dim * zo
-        mean, m2 = r[1][..., 0], r[2][..., 0]
-        return y, mean, jnp.maximum(m2 / n, 0.0)
-    # over-computed-rows fallback: a two-pass jnp reduction over the stored
-    # output (correct for any block plan; one extra HBM read)
-    mean = jnp.mean(y, axis=(1, 3, 4), dtype=jnp.float32)
-    yc = y.astype(jnp.float32) - mean[:, None, :, None, None]
-    var = jnp.mean(lax.square(yc), axis=(1, 3, 4), dtype=jnp.float32)
-    return y, mean, var
+    rs = r if isinstance(r, (list, tuple)) else [r]
+    y = rs[0]
+
+    def _trim(t):
+        if (xo_c, yo_c) != (xo_dim, yo_dim):
+            return t[:, :xo_dim, :, :yo_dim]
+        return t
+
+    def _jnp_mv(t):
+        mean = jnp.mean(t, axis=(1, 3, 4), dtype=jnp.float32)
+        tc = t.astype(jnp.float32) - mean[:, None, :, None, None]
+        var = jnp.mean(lax.square(tc), axis=(1, 3, 4), dtype=jnp.float32)
+        return mean, var
+
+    y = _trim(y)
+    n = xo_dim * yo_dim * zo
+    out = [y]
+    if emit_stats:
+        if stats_fused:
+            out += [rs[1][..., 0], jnp.maximum(rs[2][..., 0] / n, 0.0)]
+        else:
+            # over-computed-rows fallback: a two-pass jnp reduction over the
+            # stored output (correct for any block plan; one extra HBM read)
+            out += list(_jnp_mv(y))
+    if dual is not None:
+        i_s = 3 if stats_fused else 1
+        ys_ = _trim(rs[i_s])
+        out.append(ys_)
+        if emit_stats:
+            if stats_fused:
+                out += [rs[i_s + 1][..., 0],
+                        jnp.maximum(rs[i_s + 2][..., 0] / n, 0.0)]
+            else:
+                out += list(_jnp_mv(ys_))
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 # ---------------------------------------------------------------------------

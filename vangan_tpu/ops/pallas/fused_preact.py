@@ -645,3 +645,163 @@ def conv_act_stats(
     if bias is not None:
         ops["bias"] = bias
     return fn(ops)
+
+
+# ---------------------------------------------------------------------------
+# Dual block-entry (round 3b): a residual block has TWO readers of its input
+# x — block1's (optionally prologue'd) 3^3 conv and the projected 1^3
+# shortcut conv (resunet_model.py:103-143 / :185-210). dual_entry computes
+# both in ONE Pallas launch from ONE slab DMA (conv3d.py ``dual`` arm), with
+# both outputs' InstanceNorm stats emitted — the block entry drops from 2
+# launches + 2 full HBM reads of x to 1 + 1. The backward composes the
+# existing dgrad/wgrad/bwd_ext_fused ops (no new backward kernels).
+# ---------------------------------------------------------------------------
+
+
+def dual_entry_supported(
+    x_shape: Tuple[int, ...],
+    stride: Tuple[int, int, int],
+    co1: int,
+    cos: int,
+    itemsize: int = 2,
+    pro: bool = True,
+) -> bool:
+    """Gate for dual_entry: tap-form 3^3 reflect-pad-1 main conv + 1^3
+    zero-pad shortcut, same iso stride; every fwd/bwd kernel must fit and
+    (under pro) the instnorm kernels must tile x. Shapes that would prefer
+    the B formulation (ci >= 32, co <= 32) fall back to two separate ops —
+    the dual arm is tap-form only."""
+    if not (C.pallas_active() and len(x_shape) == 5):
+        return False
+    b, xdim, ci, ydim, zin = x_shape
+    if stride[0] != stride[1] or stride[1] != stride[2] or stride[0] not in (1, 2):
+        return False
+    if not (2 <= ci < 128 and 2 <= co1 < 128 and 2 <= cos < 128):
+        return False
+    if ci >= 32 and co1 <= 32:  # form_b shape class
+        return False
+    if pro and not IN.instance_norm_act_supported(x_shape, "NXCYZ"):
+        return False
+    k = (3, 3, 3)
+    zp = max(128, C._round_up(zin, 128))
+    return (
+        C._stack_bytes(1, 8, k, stride, ci, co1, zp, itemsize, pro=pro,
+                       stats=True, dual_cos=cos) <= C._VMEM_BUDGET
+        and C._stack_bytes(1, 8, k, (1, 1, 1), co1, ci, zp, itemsize)
+        <= C._VMEM_BUDGET
+        and C._stack_bytes(1, 8, (1, 1, 1), (1, 1, 1), cos, ci, zp, itemsize)
+        <= C._VMEM_BUDGET
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_dual_entry(stride: Tuple[int, int, int], act: str, alpha: float,
+                     eps: float, has_pro: bool):
+    """custom_vjp for one static dual-entry config (3^3 reflect-pad-1 main
+    conv [optionally IN+act prologue'd] + 1^3 zero-pad shortcut, iso
+    stride)."""
+    z_pad = (1, 1)
+
+    def _pad(x):
+        return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1), (0, 0)),
+                       mode="reflect")
+
+    def _scals(ops):
+        if not has_pro:
+            return None, None
+        inv = lax.rsqrt(ops["var"] + eps)
+        a = inv * ops["gamma"][None, :]
+        b = ops["beta"][None, :] - ops["mean"] * a
+        return (a, b, act, alpha), (inv, a, b)
+
+    @jax.custom_vjp
+    def op(ops):
+        pro_k, _ = _scals(ops)
+        return C._conv_fwd(
+            _pad(ops["x"]), ops["w1"], None, stride, z_pad, "reflect",
+            pro=pro_k, emit_stats=True, dual=(ops["ws"], 1, 1),
+        )
+
+    def fwd(ops):
+        pro_k, scal = _scals(ops)
+        r = C._conv_fwd(
+            _pad(ops["x"]), ops["w1"], None, stride, z_pad, "reflect",
+            pro=pro_k, emit_stats=True, dual=(ops["ws"], 1, 1),
+        )
+        # residuals: both outputs + their means feed the emit folds
+        return r, (ops, scal, (r[0], r[1]), (r[3], r[4]))
+
+    def bwd(res, g):
+        ops, scal, (y1, m1), (ys_, ms) = res
+        gy1, gm1, gv1, gys, gms, gvs = g
+        n = y1.shape[1] * y1.shape[3] * y1.shape[4]
+
+        def _fold(gy, gm, gv, y, mean):
+            return (
+                gy.astype(jnp.float32)
+                + _bc(gm) / n
+                + _bc(gv) * (2.0 / n) * (y.astype(jnp.float32) - _bc(mean))
+            ).astype(gy.dtype)
+
+        gy1 = _fold(gy1, gm1, gv1, y1, m1)
+        gys = _fold(gys, gms, gvs, ys_, ms)
+        x, w1, ws = ops["x"], ops["w1"], ops["ws"]
+        xp = _pad(x)
+        grads = {}
+        dtp = C._conv_dgrad(gy1, w1, xp.shape, stride, z_pad, "reflect").astype(x.dtype)
+        _, pvjp = jax.vjp(_pad, x)
+        (dt1,) = pvjp(dtp)
+        pro_k = None
+        if has_pro:
+            inv, a, b = scal
+            dx1, sum_gp, sum_xg = IN.bwd_ext_fused(
+                x, dt1, a, b, ops["mean"], inv, act, alpha
+            )
+            grads["gamma"] = jnp.sum(sum_xg, axis=0)
+            grads["beta"] = jnp.sum(sum_gp, axis=0)
+            grads["mean"] = -a * sum_gp
+            grads["var"] = -(a * inv * 0.5) * sum_xg
+            pro_k = (a, b, act, alpha)
+        else:
+            dx1 = dt1
+        grads["w1"] = C._conv_wgrad(
+            xp, gy1, (3, 3, 3), stride, z_pad, "reflect", pro=pro_k
+        ).astype(w1.dtype)
+        # shortcut: plain 1^3 zero-pad conv backward on the UNPADDED x
+        dxs = C._conv_dgrad(gys, ws, x.shape, stride, (0, 0), "zeros").astype(x.dtype)
+        grads["ws"] = C._conv_wgrad(
+            x, gys, (1, 1, 1), stride, (0, 0), "zeros"
+        ).astype(ws.dtype)
+        grads["x"] = dx1 + dxs
+        return (grads,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def dual_entry(
+    x: jnp.ndarray,
+    stats,
+    gamma,
+    beta,
+    w1: jnp.ndarray,
+    ws: jnp.ndarray,
+    stride=1,
+    act: str = "relu",
+    alpha: float = 0.2,
+    eps: float = 1e-3,
+):
+    """The residual-block entry in one launch: ``r1 = conv3x3(act(IN(x)))``
+    (or a raw conv when gamma is None — the Stem's conv1 has no preceding
+    norm) AND ``sc = conv1x1(x)``, both with emitted stats. ``stats`` =
+    (mean, var) of x from the producer (or None -> stats_op). Returns
+    (r1, m1, v1, sc, m_s, v_s). Gate with dual_entry_supported."""
+    stride = C._norm_stride(stride)
+    has_pro = gamma is not None
+    fn = _make_dual_entry(stride, act, float(alpha), float(eps), has_pro)
+    ops = {"x": x, "w1": w1, "ws": ws}
+    if has_pro:
+        if stats is None:
+            stats = stats_op(x)
+        ops.update(mean=stats[0], var=stats[1], gamma=gamma, beta=beta)
+    return fn(ops)
