@@ -732,6 +732,9 @@ class ResUNetResidualBlock(nn.Module):
             stride3 = _norm_stride(self.strides, 3)
             use_dual = (
                 os.environ.get("VANGAN_FUSE_DUAL", "1") != "0"
+                # same lane floor as ConvND.min_pallas_z: below it the convs
+                # route XLA anyway and the dual kernel would strand them
+                and x.shape[-1] >= 32
                 and dual_entry_supported(
                     x.shape, stride3, self.filters, self.filters,
                     jnp.dtype(self.dtype or x.dtype).itemsize, pro=True,
