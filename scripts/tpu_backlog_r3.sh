@@ -12,6 +12,7 @@ VANGAN_TPU_TESTS=1 JAX_PLATFORMS= timeout 2400 python -m pytest \
 
 # 1. fused-chain block timings + per-launch fixed cost (ROADMAP P0.3)
 timeout 1800 python scripts/microbench_conv.py --fp > /tmp/r3_fp_micro.log 2>&1
+timeout 1800 python scripts/microbench_conv.py --dual > /tmp/r3_dual_micro.log 2>&1
 timeout 1200 python scripts/microbench_conv.py --launch > /tmp/r3_launch.log 2>&1
 
 # 2. step-level A/B of the chain (full bench also probes these; this gives
