@@ -368,7 +368,17 @@ class TestFusedPreactOnChip:
         conv, pro+emit conv, pro+epi+emit conv) vs the unfused module graph
         on hardware — the Mosaic gate for the conv3d stats/epi kernel arms
         (in-kernel Welford row merge, epilogue shortcut broadcast) and the
-        composed per-op backward (fwd + grads)."""
+        composed per-op backward (fwd + grads).
+
+        Grad comparisons run under matmul precision "highest": at DEFAULT,
+        XLA's f32 dots use bf16 passes whose rounding — amplified by the
+        cancellation in IN-parameter grads (mathematically near-null
+        directions) — swamps the fused/unfused route difference by ~1e-1
+        relative on block1/shortcut leaves (measured on-chip 2026-08-18;
+        under "highest" both compiled routes and interpret all agree to
+        ~3e-6). Pinning precision makes the gate test LOWERING fidelity,
+        which is its job; training numerics at DEFAULT are identically
+        noisy with the flag on or off."""
         from vangan_tpu.models.layers import ResUNetResidualBlock, _jnp_stats
 
         dt = jnp.dtype(dtype)
@@ -385,14 +395,14 @@ class TestFusedPreactOnChip:
                 def fwd(vv, xx):
                     return m.apply(vv, xx, emit_stats=True)
 
-                y, mean, var = jax.jit(fwd)(v, x)
-
                 def loss(vv):
                     yy, mm, vvv = fwd(vv, x)
                     return (jnp.sum(yy.astype(jnp.float32) ** 2)
                             + jnp.sum(mm) + jnp.sum(vvv))
 
-                g = jax.jit(jax.grad(loss))(v)
+                with jax.default_matmul_precision("highest"):
+                    y, mean, var = jax.jit(fwd)(v, x)
+                    g = jax.jit(jax.grad(loss))(v)
                 return v, np.asarray(y, np.float32), np.asarray(mean), \
                     np.asarray(var), g
             finally:

@@ -207,6 +207,22 @@ def _pack_w_b(w: jnp.ndarray, dtype) -> jnp.ndarray:
     return jnp.transpose(w, (0, 1, 2, 4, 3)).reshape(kx, ky * kz * co, ci).astype(dtype)
 
 
+def _dot_precision(orig_dtype) -> lax.Precision:
+    """Pin every kernel dot's precision so an ambient
+    ``jax.default_matmul_precision`` context cannot change Mosaic lowering:
+    HIGHEST on a bf16 dot fails to lower ('Could not open any log file'
+    compile-helper abort, measured 2026-08-18), while DEFAULT on a true-f32
+    dot silently runs bf16 passes (~1e-1 relative drift on
+    cancellation-heavy gradients vs f32 passes). bf16-ORIGIN data gets
+    DEFAULT — bf16 x bf16 -> f32 accumulation is exact single-pass, so
+    DEFAULT == HIGHEST semantically there — and f32-origin data gets HIGHEST
+    so f32 parity tests measure lowering fidelity, not dot rounding.
+    ``orig_dtype`` is the dtype BEFORE any degenerate-K f32 workaround cast
+    (cast-from-bf16 operands carry only bf16 information)."""
+    return (lax.Precision.HIGHEST if orig_dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+
+
 def _safe_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """MXU dot with f32 accumulation; degenerate bf16 dots (any of M/N/K < 8)
     hit a Mosaic mixed-precision lowering bug ('vector.broadcast' dtype
@@ -214,9 +230,10 @@ def _safe_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     this guard existed in form_b/wgrad but not the tap-form forward)."""
     m, k = a.shape
     n = b.shape[-1]
+    prec = _dot_precision(a.dtype)
     if min(m, n, k) < 8 and a.dtype != jnp.float32:
         a, b = a.astype(jnp.float32), b.astype(jnp.float32)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
 def _db_enabled() -> bool:
@@ -471,11 +488,13 @@ def _fwd_kernel_b(
             if pro is not None:
                 row2 = _act_fwd(row2 * pro_a + pro_b, pro[0], pro[1]).astype(row2.dtype)
             wdx = w_ref[dx]
+            prec = _dot_precision(row2.dtype)
             if ci < 8 and row2.dtype != jnp.float32:
                 # degenerate-K dots take Mosaic's vector-like path, which has
                 # a bf16 mixed-precision lowering bug (see wgrad note)
                 row2, wdx = row2.astype(jnp.float32), wdx.astype(jnp.float32)
-            bmat[:] = jnp.dot(wdx, row2, preferred_element_type=jnp.float32)
+            bmat[:] = jnp.dot(wdx, row2, preferred_element_type=jnp.float32,
+                              precision=prec)
             for dy in range(ky):
                 win = bmat[dy * kzco : (dy + 1) * kzco, dy * zin : (dy + yb) * zin]
                 acc = win if acc is None else acc + win
@@ -490,7 +509,8 @@ def _fwd_kernel_b(
                 parts.append(part.astype(x_vmem.dtype))
         if rest:
             r_cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-            shifted = jnp.dot(r_cat, s_ref[:], preferred_element_type=jnp.float32)
+            shifted = jnp.dot(r_cat, s_ref[:], preferred_element_type=jnp.float32,
+                              precision=_dot_precision(r_cat.dtype))
             out = shifted if out is None else out + shifted
         o3 = out.reshape(co, yb, zo)
         if has_bias:
@@ -642,12 +662,15 @@ def _fwd_kernel(
             p_s = _shortcut_row(x_vmem, slot, xo, yb=yb, stride=stride,
                                 ci=ci, zin=zin, offx=doffs[0], offy=doffs[1])
             ws2 = ws_ref[:]  # (Cos, Ci)
+            prec_s = _dot_precision(p_s.dtype)
             if ci < 8 and p_s.dtype != jnp.float32:
                 # degenerate-K bf16 dots miscompile (see above)
                 p_s, ws2 = p_s.astype(jnp.float32), ws2.astype(jnp.float32)
-            os_ = jnp.dot(ws2, p_s, preferred_element_type=jnp.float32)
+            os_ = jnp.dot(ws2, p_s, preferred_element_type=jnp.float32,
+                          precision=prec_s)
             os2 = os_.reshape(dual * yb, zin).astype(x_vmem.dtype)
-            oss = jnp.dot(os2, ss_ref[:], preferred_element_type=jnp.float32)
+            oss = jnp.dot(os2, ss_ref[:], preferred_element_type=jnp.float32,
+                          precision=_dot_precision(os2.dtype))
             osq = oss.reshape(dual, yb, zo).astype(outs_ref.dtype)
             outs_ref[0, pl.ds(xo, 1)] = osq[None]
             if stats:
@@ -1099,10 +1122,12 @@ def _wgrad_kernel(
         # (M, yb*Zin) x (kx*ky*Ci, yb*Zin)^T -> (M, kx*ky*Ci). Degenerate
         # dots (any dim < 8) hit a Mosaic bf16 mixed-precision lowering bug
         # ('vector.broadcast' dtype mismatch) — compute those in f32.
+        prec = _dot_precision(pp.dtype)
         if min(gd.shape[0], pp.shape[0], pp.shape[1]) < 8 and pp.dtype != jnp.float32:
             gd, pp = gd.astype(jnp.float32), pp.astype(jnp.float32)
         return lax.dot_general(
-            gd, pp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            gd, pp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     def body(xo, _):

@@ -192,12 +192,15 @@ def _bcast_c(ref_slice, shape3, dtype=None):
     c, y, z = shape3
     v = ref_slice.astype(jnp.float32)  # (c, 1)
     cz = jax.lax.dot(v, jnp.ones((1, z), jnp.float32))  # (c, z)
+    # reshape in f32, THEN cast: a 16-bit (c, z) -> (c, 1, z) shape cast
+    # fails Mosaic layout inference when z is not 128-lane aligned (z=64
+    # levels, measured on-chip 2026-08-18); the f32 reshape lowers at every
+    # lane width. Casting before the SUBLANE broadcast still keeps the big
+    # (c, y, z) temporary in the compute dtype — the point of the cast.
+    cyz = cz.reshape(c, 1, z)
     if dtype is not None:
-        # cast BEFORE the sublane broadcast: the (c, y, z) temporary then
-        # lives in the compute dtype, halving the Mosaic stack contribution
-        # of each broadcast constant (2 per apply kernel)
-        cz = cz.astype(dtype)
-    return jnp.broadcast_to(cz.reshape(c, 1, z), (c, y, z))
+        cyz = cyz.astype(dtype)
+    return jnp.broadcast_to(cyz, (c, y, z))
 
 
 def _apply_kernel(x_ref, a_ref, b_ref, y_ref, *, act: str, alpha: float):
