@@ -438,24 +438,16 @@ def main() -> None:
 
     # probe both per-chip batch sizes (kernels are per-sample latency-bound
     # today, so batch 1 currently wins; batch 3 runs via the split step) and
-    # report the best; batch 2 skipped — never the winner. The *_fp probes
-    # A/B the fused pre-act conv (VANGAN_FUSE_PREACT=1,
-    # ops/pallas/fused_preact.py): the flag is default-off until
-    # chip-validated, so the bench tries it as an EXTRA candidate — a Mosaic
-    # lowering failure just loses that probe, never the round.
+    # report the best; batch 2 skipped — never the winner. The fused-chain
+    # probes (VANGAN_FUSE_PREACT) were A/B'd on chip 2026-08-19 and REMOVED:
+    # batch 1 fused measured 1.5456 vs 1.6011 unfused (a real ~3.5%
+    # regression), and batch 3 fused+remat-off OOMs HBM on the decoder's
+    # 48-ch concat tensors (docs/BENCH_SESSION_r3.md) — re-probing a known
+    # loser and a deterministic OOM (which would retry once) would waste
+    # ~30+ min of round-end chip time for numbers that cannot win.
     results = []
     for batch in (1, 3):
         r = _probe_with_retry(["--batch", str(batch)], f"batch{batch}", failures)
-        if r is not None:
-            results.append(r)
-        # the fused batch-3 probe also drops the remat: the chain halves the
-        # spine's residual set, which is what should make batch 3 fit without
-        # it (an HBM OOM just loses this probe — batch3 unfused remains)
-        fp_env = {"VANGAN_FUSE_PREACT": "1"}
-        if batch >= 3:
-            fp_env["VANGAN_BENCH_REMAT"] = "0"
-        r = _probe_with_retry(["--batch", str(batch)], f"batch{batch}_fp", failures,
-                              extra_env=fp_env)
         if r is not None:
             results.append(r)
 
