@@ -126,3 +126,42 @@ def test_probe_failure_returns_traceback(tmp_path, monkeypatch):
     result, rc, tb = bench._run_probe(["--batch", "1"], "t2")
     assert result is None and rc == 1
     assert tb.startswith("Traceback") and "KeyError" in tb
+
+
+@pytest.mark.quick
+def test_probe_retry_respects_wall_budget(tmp_path, monkeypatch):
+    """Round-3 VERDICT item 1: per-probe timeouts derive from the remaining
+    budget; a probe is skipped outright when too little remains."""
+    monkeypatch.setattr(bench, "LOG_DIR", str(tmp_path))
+    timeouts = []
+
+    def fake_run(*a, **k):
+        timeouts.append(k.get("timeout"))
+        return subprocess.CompletedProcess(
+            a, 1, stdout="", stderr="Traceback (most recent call last):\nX: y\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "preflight", lambda wait_s=0: None)
+
+    # (almost) no budget left -> skipped without spawning anything
+    monkeypatch.setattr(bench, "_remaining", lambda: 100.0)
+    failures = []
+    assert bench._probe_with_retry(["--batch", "1"], "t3", failures, timeout=500) is None
+    assert timeouts == []
+    assert failures == []  # skip, not failure
+
+    # budget available -> timeout clamped to remaining - reserve, retried once
+    monkeypatch.setattr(bench, "_remaining", lambda: 1000.0)
+    assert bench._probe_with_retry(
+        ["--batch", "1"], "t4", failures, timeout=5000, reserve=300) is None
+    assert timeouts == [700, 700]
+    assert len(failures) == 2
+
+
+@pytest.mark.quick
+def test_emit_is_json_line(capsys):
+    bench._emit({"metric": "m", "value": 2.0})
+    out = capsys.readouterr().out
+    import json
+
+    assert json.loads(out.strip()) == {"metric": "m", "value": 2.0}

@@ -61,3 +61,67 @@ class TestCheckpoint:
         assert float(sched(19)) == pytest.approx(cfg.INITIAL_LR)
         assert float(sched(30)) == pytest.approx(cfg.INITIAL_LR * 0.5, rel=1e-5)
         assert float(sched(40)) == pytest.approx(0.0, abs=1e-12)
+
+
+class TestExportBundle:
+    """Config-bundled standalone export (custom_callback.py:33-45 analogue)."""
+
+    def test_export_load_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from vangan_tpu.checkpoint import export_models, load_exported
+        from vangan_tpu.models.factory import build_discriminator, build_generator
+
+        cfg = tiny_cfg(output_dir=str(tmp_path), gen_filters=4, disc_filters=8)
+        models = {
+            "gen_IS": build_generator(cfg.gen_i2s, cfg, role="i2s"),
+            "gen_SI": build_generator(cfg.gen_s2i, cfg, role="s2i"),
+            "disc_I": build_discriminator(cfg),
+            "disc_S": build_discriminator(cfg),
+        }
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+
+        path = export_models(cfg, state, epoch=2)
+        assert path.endswith("exports/e3")
+        loaded_cfg, nets = load_exported(path)
+        assert loaded_cfg.gen_i2s == cfg.gen_i2s
+        assert set(nets) == {"gen_IS", "gen_SI", "disc_I", "disc_S"}
+
+        x = np.asarray(
+            np.random.default_rng(7).normal(size=(1, 16, 16, 16, 1)), np.float32
+        )
+        for name in ("gen_IS", "disc_I"):
+            module, variables = nets[name]
+            got = module.apply(variables, jnp.asarray(x), train=False)
+            want = models[name].apply(
+                {"params": state.params[name], **state.model_state[name]},
+                jnp.asarray(x), train=False,
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_monitor_save_model_writes_bundle(self, tmp_path):
+        import os
+
+        from vangan_tpu.checkpoint import load_exported
+        from vangan_tpu.models.factory import build_discriminator, build_generator
+        from vangan_tpu.monitor import GanMonitor
+
+        cfg = tiny_cfg(output_dir=str(tmp_path), gen_filters=4, disc_filters=8)
+        models = {
+            "gen_IS": build_generator(cfg.gen_i2s, cfg, role="i2s"),
+            "gen_SI": build_generator(cfg.gen_s2i, cfg, role="s2i"),
+            "disc_I": build_discriminator(cfg),
+            "disc_S": build_discriminator(cfg),
+        }
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+
+        class _Model:
+            state = fns.init(jax.random.PRNGKey(0))
+
+        mon = GanMonitor(cfg, monitor_dir=str(tmp_path / "mon"))
+        path = mon.save_model(_Model(), epoch=0)
+        assert os.path.isfile(os.path.join(path, "manifest.json"))
+        assert os.path.isfile(os.path.join(path, "config.yaml"))
+        _, nets = load_exported(path)
+        assert len(nets) == 4

@@ -188,13 +188,16 @@ class TestCompositeLosses:
             )
 
     def test_wasserstein_losses(self, rng):
+        # the reference's reduce_mean runs with NO axis here
+        # (loss_functions.py:338,355), so the axis=None quirk scale applies:
+        # value = -global_mean * n_devices / GLOBAL_BATCH
         s1 = LossScales(global_batch_size=8, n_devices=1)
         real = rng.normal(size=(8, 1)).astype(np.float32)
         fake = rng.normal(size=(8, 1)).astype(np.float32)
         g = float(wasserstein_generator_loss(s1, jnp.asarray(fake)))
         d = float(wasserstein_discriminator_loss(s1, jnp.asarray(real), jnp.asarray(fake)))
-        assert g == pytest.approx(-fake.mean(), rel=1e-5)
-        assert d == pytest.approx(-(real - fake).mean(), rel=1e-4)
+        assert g == pytest.approx(-fake.mean() / 8.0, rel=1e-5)
+        assert d == pytest.approx(-(real - fake).mean() / 8.0, rel=1e-4)
 
     def test_gradient_penalty_linear_disc(self, rng):
         """For D(x) = sum(w*x) the input-gradient is w everywhere, so

@@ -10,10 +10,13 @@ checkpoint named ``checkpoint_e{N}``. Because LR schedules are indexed by
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+import re
+from typing import Any, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -58,3 +61,96 @@ class VanGanCheckpointer:
                 except ValueError:
                     pass
         return max(epochs) if epochs else None
+
+
+# --- config-bundled model export (SavedModel analogue) ---
+#
+# The reference exports full Keras SavedModels of all four networks —
+# architecture + weights, reloadable standalone (custom_callback.py:33-45).
+# The flax analogue: per-network .npz weight archives PLUS the full config
+# YAML and a manifest naming each network's builder, so ``load_exported``
+# can rebuild the modules and variables with no training run in hand.
+
+_KEY_RE = re.compile(r"\['([^']*)'\]")
+
+
+def _flatten_tree(tree: Any) -> Dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def _unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Rebuild the nested dict a flax module expects from keystr-keyed leaves
+    (keys look like ``['encoder']['Conv_0']['kernel']``)."""
+    tree: Dict[str, Any] = {}
+    for keystr, leaf in flat.items():
+        parts = _KEY_RE.findall(keystr)
+        if not parts:
+            raise ValueError(f"unparseable export key {keystr!r}")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return tree
+
+
+def export_models(cfg, state: Any, epoch: int, out_dir: Optional[str] = None) -> str:
+    """Export all four networks + the config as a standalone bundle.
+
+    Writes ``{out_dir}/exports/e{epoch+1}/`` containing ``config.yaml``,
+    ``manifest.json`` and one ``{name}.npz`` per network (params + mutable
+    collections). Returns the bundle path.
+    """
+    from vangan_tpu.training.state import NETWORKS
+
+    base = out_dir or cfg.output_dir
+    path = os.path.join(base, "exports", f"e{epoch + 1}")
+    os.makedirs(path, exist_ok=True)
+    cfg.to_yaml(os.path.join(path, "config.yaml"))
+    roles = {"gen_IS": ("generator", cfg.gen_i2s, "i2s"),
+             "gen_SI": ("generator", cfg.gen_s2i, "s2i"),
+             "disc_I": ("discriminator", None, None),
+             "disc_S": ("discriminator", None, None)}
+    manifest = {"format": 1, "epoch": epoch + 1, "networks": {}}
+    for name in NETWORKS:
+        builder, kind, role = roles[name]
+        arrays = {f"params{k}": v for k, v in _flatten_tree(state.params[name]).items()}
+        arrays.update(
+            {f"state{k}": v for k, v in _flatten_tree(state.model_state[name]).items()}
+        )
+        np.savez(os.path.join(path, f"{name}.npz"), **arrays)
+        manifest["networks"][name] = {"builder": builder, "kind": kind, "role": role,
+                                      "file": f"{name}.npz"}
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return path
+
+
+def load_exported(path: str) -> Tuple[Any, Dict[str, Tuple[Any, Dict[str, Any]]]]:
+    """Load a bundle written by :func:`export_models`.
+
+    Returns ``(cfg, {name: (module, variables)})`` — each module rebuilt from
+    the bundled config via the model factory, each ``variables`` ready for
+    ``module.apply(variables, x, train=False)``.
+    """
+    from vangan_tpu.config import VanGanConfig
+    from vangan_tpu.models.factory import build_discriminator, build_generator
+
+    cfg = VanGanConfig.from_yaml(os.path.join(path, "config.yaml"))
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    nets = {}
+    for name, meta in manifest["networks"].items():
+        if meta["builder"] == "generator":
+            module = build_generator(meta["kind"], cfg, role=meta["role"])
+        else:
+            module = build_discriminator(cfg)
+        with np.load(os.path.join(path, meta["file"])) as data:
+            params = _unflatten_tree(
+                {k[len("params"):]: data[k] for k in data.files if k.startswith("params")}
+            )
+            collections = _unflatten_tree(
+                {k[len("state"):]: data[k] for k in data.files if k.startswith("state")}
+            ) if any(k.startswith("state") for k in data.files) else {}
+        nets[name] = (module, {"params": params, **collections})
+    return cfg, nets

@@ -48,6 +48,39 @@ def _load_partitions(cfg, data_dir):
     return imaging, seg
 
 
+def _resolve_preprocess_fn(spec):
+    """Resolve the user imaging-domain preprocessing hook (--preprocess).
+
+    ``rsom`` selects the published RSOM recipe — slice-wise z-score +
+    percentile clip (reference main.py:127-161, wired into its imaging
+    ``DataPreprocessor`` at main.py:115); anything else is a dotted path
+    ``pkg.mod:fn`` (or ``pkg.mod.fn``) to a module-level
+    ``np.ndarray -> np.ndarray`` function. Module-level is required: the
+    preprocessor fans out over a ProcessPoolExecutor, so the hook must
+    pickle.
+    """
+    if spec is None:
+        return None
+    if spec == "rsom":
+        from vangan_tpu.utils import preprocess_rsom_images
+
+        return preprocess_rsom_images
+    import importlib
+
+    mod, _, fn = spec.partition(":")
+    if not fn:
+        mod, _, fn = spec.rpartition(".")
+    if not mod or not fn:
+        raise SystemExit(f"--preprocess: cannot parse {spec!r} (use 'rsom' or 'pkg.mod:fn')")
+    try:
+        target = getattr(importlib.import_module(mod), fn)
+    except (ImportError, AttributeError) as e:
+        raise SystemExit(f"--preprocess: cannot resolve {spec!r}: {e}")
+    if not callable(target):
+        raise SystemExit(f"--preprocess: {spec!r} is not callable")
+    return target
+
+
 def cmd_preprocess(args) -> None:
     cfg = _load_cfg(args)
     from vangan_tpu.data.preprocess import DataPreprocessor
@@ -57,7 +90,8 @@ def cmd_preprocess(args) -> None:
         partition_filename="dataA_partition.pkl", tiff_size=cfg.RAW_IMG_SIZE,
         target_size=cfg.TARG_RAW_IMG_SIZE, domain="imaging", seed=cfg.seed,
     )
-    imaging.preprocess(resize=args.resize)
+    imaging.preprocess(resize=args.resize,
+                       preprocess_fn=_resolve_preprocess_fn(args.preprocess))
     seg = DataPreprocessor(
         cfg, raw_path=args.seg_raw, main_dir=args.data_dir, partition_id="B",
         partition_filename="dataB_partition.pkl", tiff_size=cfg.SYNTH_IMG_SIZE,
@@ -135,7 +169,8 @@ def cmd_predict(args) -> None:
         npy_dir = os.path.join(args.output, "preprocessed_npy")
         pre = DataPreprocessor(cfg, partition_id="A", domain="imaging")
         pre.process_new_data(args.input, npy_dir, tiff_size=cfg.RAW_IMG_SIZE,
-                             target_size=cfg.TARG_RAW_IMG_SIZE, resize=args.resize)
+                             target_size=cfg.TARG_RAW_IMG_SIZE, resize=args.resize,
+                             preprocess_fn=_resolve_preprocess_fn(args.preprocess))
         files = [os.path.join(npy_dir, f) for f in sorted(os.listdir(npy_dir))
                  if f.endswith(".npy")]
     else:
@@ -164,6 +199,10 @@ def main(argv=None) -> None:
     pp.add_argument("--seg-raw", required=True)
     pp.add_argument("--data-dir", required=True)
     pp.add_argument("--resize", action="store_true")
+    pp.add_argument("--preprocess", default=None, metavar="rsom|pkg.mod:fn",
+                    help="imaging-domain preprocessing hook: 'rsom' (slice-wise "
+                         "z-score + percentile clip, reference main.py:127-161) "
+                         "or a dotted path to a np.ndarray->np.ndarray function")
     pp.set_defaults(fn=cmd_preprocess)
 
     pt = sub.add_parser("train", help="train VAN-GAN")
@@ -188,6 +227,9 @@ def main(argv=None) -> None:
     pr.add_argument("--stride", type=int, nargs=3, default=(25, 25, 25))
     pr.add_argument("--resize", action="store_true",
                     help="Lanczos-resize raw TIFFs to TARG_RAW_IMG_SIZE")
+    pr.add_argument("--preprocess", default=None, metavar="rsom|pkg.mod:fn",
+                    help="preprocessing hook applied to raw TIFF inputs "
+                         "(same semantics as `preprocess --preprocess`)")
     pr.add_argument("--output-dir", default=None)
     pr.set_defaults(fn=cmd_predict)
 

@@ -235,15 +235,20 @@ def discriminator_loss_fn(
 
 
 def wasserstein_generator_loss(scales: LossScales, prob_fake_is_real: jnp.ndarray) -> jnp.ndarray:
-    """-E[D(fake)] with the per-sample reduction contract (loss_functions.py:341-355)."""
-    return -reduce_mean_global(scales, prob_fake_is_real)
+    """-E[D(fake)] (loss_functions.py:341-355).
+
+    The reference calls ``reduce_mean`` with NO axis (loss_functions.py:355),
+    so the axis=None scale quirk applies: the all-reduced value is
+    ``-global_mean / per_device_batch``, not ``-global_mean`` (TF-golden-tested
+    in tests/test_reference_golden.py)."""
+    return -reduce_mean_overall(scales, prob_fake_is_real)
 
 
 def wasserstein_discriminator_loss(
     scales: LossScales, prob_real_is_real: jnp.ndarray, prob_fake_is_real: jnp.ndarray
 ) -> jnp.ndarray:
-    """-E[D(real) - D(fake)] (loss_functions.py:325-338)."""
-    return -reduce_mean_global(scales, prob_real_is_real - prob_fake_is_real)
+    """-E[D(real) - D(fake)] (loss_functions.py:325-338); axis=None quirk as above."""
+    return -reduce_mean_overall(scales, prob_real_is_real - prob_fake_is_real)
 
 
 def gradient_penalty(

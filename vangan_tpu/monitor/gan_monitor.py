@@ -66,17 +66,14 @@ class GanMonitor:
 
     # --- model export (custom_callback.py:33-45) ---
 
-    def save_model(self, model, epoch: int) -> None:
-        """Export each network's params as .npz archives (SavedModel analogue)."""
-        import jax
+    def save_model(self, model, epoch: int) -> str:
+        """Standalone model export (SavedModel analogue, custom_callback.py:33-45):
+        per-network .npz weights bundled with the config + a manifest, so
+        ``vangan_tpu.checkpoint.load_exported`` can rebuild and apply the
+        networks without the training run's code state."""
+        from vangan_tpu.checkpoint import export_models
 
-        out = os.path.join(self.model_path, "checkpoints")
-        os.makedirs(out, exist_ok=True)
-        names = {"gen_IS": "genAB", "gen_SI": "genBA", "disc_I": "discA", "disc_S": "discB"}
-        for net, suffix in names.items():
-            flat = jax.tree_util.tree_flatten_with_path(model.state.params[net])[0]
-            arrays = {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
-            np.savez(os.path.join(out, f"e{epoch + 1}_{suffix}.npz"), **arrays)
+        return export_models(self.cfg, model.state, epoch, out_dir=self.model_path)
 
     # --- sample panels (custom_callback.py:225-324) ---
 
