@@ -186,7 +186,15 @@ def preflight(wait_s: int = 180) -> None:
         time.sleep(5)
 
 
+def _phase(msg: str) -> None:
+    """Probe-internal phase timestamps to stderr (survive a timeout kill in
+    the .err.log): the round-4 diagnosis tool for where probe time goes."""
+    sys.stderr.write(f"[probe +{time.monotonic() - _T0:7.1f}s] {msg}\n")
+    sys.stderr.flush()
+
+
 def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
+    _phase("importing jax")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -194,6 +202,8 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
     from vangan_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    jax.config.update("jax_explain_cache_misses", True)
+    _phase(f"devices: {jax.devices()}")
 
     from vangan_tpu.config import VanGanConfig
     from vangan_tpu.models.factory import build_discriminator, build_generator
@@ -243,6 +253,7 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
     }
     fns = make_step_fns(cfg, models, steps_per_epoch=100)
     mesh = make_mesh(n_devices, cfg.mesh_axis)
+    _phase("init params")
     state = put_replicated(fns.init(jax.random.PRNGKey(0)), mesh)
     rng = np.random.default_rng(0)
     gb = cfg.GLOBAL_BATCH_SIZE
@@ -260,12 +271,15 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
     noise = jnp.asarray(0.1, jnp.float32)
     upd = jnp.asarray(True)
     key = jax.random.PRNGKey(1)
-    for _ in range(2):  # compile + steady warmup
+    _phase("compile + warmup (2 steps)")
+    for i in range(2):  # compile + steady warmup
         state, result = step(state, real_I, real_S, key, noise, upd)
+        float(result["total_IS_loss"])
+        _phase(f"warmup step {i} done")
     # NOTE: block_until_ready does not synchronise on this remote TPU
     # platform; a host fetch does. The steps chain through the donated state,
     # so one final fetch bounds the whole timed sequence.
-    float(result["total_IS_loss"])
+    _phase("timed steps")
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -299,12 +313,15 @@ def run_inference() -> None:
     """BASELINE config 3: sliding-window inference on a full ~600^3 volume
     with Gaussian overlap blending, on-device accumulation + division. Prints
     one JSON line with Mvoxels/sec (output voxels per second of wall time)."""
+    _phase("importing jax")
     import jax
     import numpy as np
 
     from vangan_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    jax.config.update("jax_explain_cache_misses", True)
+    _phase(f"devices: {jax.devices()}")
 
     from vangan_tpu.config import VanGanConfig
     from vangan_tpu.inference.stitcher import stitch_subvolumes
@@ -323,11 +340,18 @@ def run_inference() -> None:
 
     kw = dict(subvol_size=(1, 128, 128, 128, 1), stride=(64, 64, 64), complete=True,
               padFactor=0.1, save=False, batch_size=cfg.stitcher_batch, blend="gaussian",
-              device_apply=(apply_fn, variables))
+              device_apply=(apply_fn, variables),
+              # the production run_mapping config: exactly-scaled uint8 band
+              # streaming + f16 upload + on-device padding (the tunnelled
+              # host link is the bottleneck — tests/test_stitcher.py)
+              stream_dtype=cfg.stitcher_stream_dtype,
+              upload_dtype=cfg.stitcher_upload_dtype)
     # shape-correct warm-up: ONE accumulation chunk on the real volume
     # compiles every shape-keyed program the timed run uses (VERDICT r2 weak
     # #5 — a 160^3 warm-up volume warmed nothing for the 720^3 buffers)
+    _phase("warm-up chunk (compiles)")
     stitch_subvolumes(None, vol, max_chunks=1, **kw)
+    _phase("timed stitch")
     t0 = time.perf_counter()
     out = stitch_subvolumes(None, vol, **kw)
     dt = time.perf_counter() - t0

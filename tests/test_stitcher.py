@@ -187,7 +187,8 @@ class TestDeviceStitcher:
         host_gen, device_apply = self._toy_gen()
         img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
         kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
-                  padFactor=0.25, save=False, batch_size=4, blend=blend)
+                  padFactor=0.25, save=False, batch_size=4, blend=blend,
+                  stream_dtype="float32")
         ref = stitch_subvolumes(host_gen, img, **kw)
         dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
         np.testing.assert_allclose(dev, ref, atol=2e-3)
@@ -199,7 +200,7 @@ class TestDeviceStitcher:
         host_gen, device_apply = self._toy_gen()
         img = rng.normal(size=(150, 16, 12, 1)).astype(np.float32)
         kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 8, 8), complete=True,
-                  padFactor=0.1, save=False, batch_size=4)
+                  padFactor=0.1, save=False, batch_size=4, stream_dtype="float32")
         ref = stitch_subvolumes(host_gen, img, **kw)
         dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
         assert dev.shape == ref.shape == img.shape  # 150 = 2x64 + 22 bands
@@ -209,7 +210,8 @@ class TestDeviceStitcher:
         host_gen, device_apply = self._toy_gen()
         img = (rng.normal(size=(16, 16, 16, 1)) * 30 + 100).astype(np.float32)
         kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(8, 8, 8), complete=True,
-                  padFactor=0.1, save=False, batch_size=3, process_img=True)
+                  padFactor=0.1, save=False, batch_size=3, process_img=True,
+                  stream_dtype="float32")
         ref = stitch_subvolumes(host_gen, img, **kw)
         dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
         np.testing.assert_allclose(dev, ref, atol=2e-3)
@@ -219,7 +221,7 @@ class TestDeviceStitcher:
         host_gen, device_apply = self._toy_gen()
         img = rng.normal(size=(12, 12, 12, 1)).astype(np.float32)
         kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=False,
-                  save=False, batch_size=7)  # 27 origins -> 6 padded slots
+                  save=False, batch_size=7, stream_dtype="float32")  # 27 origins -> 6 padded slots
         ref = stitch_subvolumes(host_gen, img, **kw)
         dev = stitch_subvolumes(host_gen, img, device_apply=device_apply, **kw)
         np.testing.assert_allclose(dev, ref, atol=2e-3)
@@ -242,7 +244,7 @@ class TestDeviceStitcher:
 
         img = rng.normal(size=(12, 12, 12, 1)).astype(np.float32)
         kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=False,
-                  save=False, batch_size=4)
+                  save=False, batch_size=4, stream_dtype="float32")
         tokens = []
         for scale in (0.3, 0.9):
             fn = make(scale)
@@ -265,7 +267,8 @@ class TestDeviceStitcher:
         host_gen, device_apply = self._toy_gen()
         img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
         kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
-                  padFactor=0.25, save=False, batch_size=4, blend="gaussian")
+                  padFactor=0.25, save=False, batch_size=4, blend="gaussian",
+                  stream_dtype="float32")
         warm = stitch_subvolumes(host_gen, img, device_apply=device_apply,
                                  max_chunks=1, **kw)
         assert warm.shape == img.shape  # partial result, shape only
@@ -309,3 +312,93 @@ class TestDeviceStitcher:
         dev = stitch_subvolumes(host_gen, img, device_apply=device_apply,
                                 mesh=mesh, **kw)
         np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+
+class TestStreamDtype:
+    def test_f16_banding_close_to_f32(self, rng):
+        """The default float16 band streaming (the tunnelled d2h link is the
+        stitch bottleneck) stays within half a grey level of the f32 path on
+        the 0..255 output scale."""
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * 0.7)
+
+        img = rng.normal(size=(150, 16, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 8, 8), complete=True,
+                  padFactor=0.1, save=False, batch_size=4,
+                  device_apply=(apply_fn, {}))
+        f32 = stitch_subvolumes(None, img, stream_dtype="float32", **kw)
+        f16 = stitch_subvolumes(None, img, **kw)  # default float16
+        assert f16.dtype == np.float32  # host-side buffer stays f32
+        np.testing.assert_allclose(f16, f32, atol=0.5)
+
+    def test_uint8_two_pass_close_to_f32(self, rng):
+        """The two-pass uint8 mode (exact global min-max scaling on device)
+        stays within half a grey level of the f32 path; the host min-max tail
+        is the identity on its output."""
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * 0.7)
+
+        img = rng.normal(size=(150, 16, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 8, 8), complete=True,
+                  padFactor=0.1, save=False, batch_size=4,
+                  device_apply=(apply_fn, {}))
+        f32 = stitch_subvolumes(None, img, stream_dtype="float32", **kw)
+        u8 = stitch_subvolumes(None, img, stream_dtype="uint8", **kw)
+        np.testing.assert_allclose(u8, f32, atol=0.51)
+        # quantized bands land on integers; min 0 / max 255 hit exactly
+        assert u8.min() == 0.0 and u8.max() == 255.0
+
+    def test_uint8_warmup_then_full(self, rng):
+        """max_chunks=1 warms the stats + u8 finalize programs too."""
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * 0.7)
+
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
+                  padFactor=0.25, save=False, batch_size=4, blend="gaussian",
+                  device_apply=(apply_fn, {}), stream_dtype="uint8")
+        warm = stitch_subvolumes(None, img, max_chunks=1, **kw)
+        assert warm.shape == img.shape
+        full = stitch_subvolumes(None, img, **kw)
+        ref = stitch_subvolumes(None, img, **{**kw, "stream_dtype": "float32"})
+        np.testing.assert_allclose(full, ref, atol=0.51)
+
+    def test_device_pad_matches_host_pad(self, rng):
+        """On-device symmetric padding (upload the unpadded volume) is exact
+        vs the host np.pad path at f32 upload."""
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * 0.7)
+
+        def host_gen(x):
+            return np.tanh(np.asarray(x, np.float32) * 0.7)
+
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
+                  padFactor=0.25, save=False, batch_size=4,
+                  stream_dtype="float32")
+        ref = stitch_subvolumes(host_gen, img, **kw)  # host path pads on host
+        dev = stitch_subvolumes(None, img, device_apply=(apply_fn, {}), **kw)
+        np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+    def test_f16_upload_close(self, rng):
+        """float16 upload (half the h2d bytes) stays within a grey level."""
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * 0.7)
+
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
+                  padFactor=0.25, save=False, batch_size=4,
+                  device_apply=(apply_fn, {}), stream_dtype="float32")
+        f32 = stitch_subvolumes(None, img, **kw)
+        f16 = stitch_subvolumes(None, img, upload_dtype="float16", **kw)
+        np.testing.assert_allclose(f16, f32, atol=1.0)

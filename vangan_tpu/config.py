@@ -121,6 +121,13 @@ class VanGanConfig:
     debug_nans: bool = False  # jax_debug_nans (vangan.py:290-292 equivalent)
     plot_dataset_samples: bool = True  # startup sanity panels (dataset.py:113)
     stitcher_batch: int = 8  # patches per device batch in sliding-window inference
+    # dtype the stitched x-bands cross the host link in ('uint8' two-pass
+    # exact-min-max quantization | 'float16' | 'float32'); the host link is
+    # the full-volume inference bottleneck (~5-20 MB/s tunnelled d2h)
+    stitcher_stream_dtype: str = "uint8"
+    # dtype the input volume crosses the h2d link in ('float16' halves the
+    # upload; the generators compute in bf16 regardless)
+    stitcher_upload_dtype: str = "float16"
     # on-device stitcher accumulation (upload volume once, jitted
     # gather/apply/scatter-add scan, one download) vs host numpy loop
     stitcher_device: bool = True

@@ -66,6 +66,11 @@ def run_mapping(
             device_apply=device_apply,
             mesh=mesh,
             mesh_axis=getattr(vangan.cfg, "mesh_axis", "data"),
+            # the artifact is a 255 x min-max TIFF: stream exactly-scaled
+            # uint8 bands (4x fewer bytes on the tunnelled link; within half
+            # a grey level of the float path — tests/test_stitcher.py)
+            stream_dtype=getattr(vangan.cfg, "stitcher_stream_dtype", "uint8"),
+            upload_dtype=getattr(vangan.cfg, "stitcher_upload_dtype", "float16"),
         )
 
 

@@ -250,10 +250,16 @@ def _device_divide_fn():
 
 
 @functools.lru_cache(maxsize=None)
-def _finalize_fn(crop_yz: tuple, band: int, c: int):
+def _finalize_fn(crop_yz: tuple, band: int, c: int, stream_dtype: str = "float16"):
     """Jitted divide + crop of one x-band: static (band, ys, zs) slice at a
     traced x offset. 0/0 -> NaN matches np.true_divide (never-covered voxels
-    exist only inside the padding margin, which the crop removes)."""
+    exist only inside the padding margin, which the crop removes).
+
+    Bands stream to the host as ``stream_dtype`` (default float16: the
+    tunnelled d2h link is the stitch bottleneck at ~8-20 MB/s and the final
+    output is 255 x min-max -> uint8 anyway, so halving the bytes costs
+    nothing the TIFF keeps; pass 'float32' for the bit-exact oracle path).
+    Divided values are tanh-range predictions, far inside f16 range."""
     import jax
     import jax.numpy as jnp
 
@@ -262,7 +268,61 @@ def _finalize_fn(crop_yz: tuple, band: int, c: int):
     def f(pred, count, x0):
         p = jax.lax.dynamic_slice(pred, (x0, y0, z0, 0), (band, ys, zs, c))
         q = jax.lax.dynamic_slice(count, (x0, y0, z0, 0), (band, ys, zs, c))
-        return jnp.true_divide(p, q)
+        return jnp.true_divide(p, q).astype(jnp.dtype(stream_dtype))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_fn(pad: tuple, dtype_name: str):
+    """Jitted symmetric pad: the device path uploads the UNPADDED volume and
+    pads in HBM — the padFactor margin never crosses the ~5-20 MB/s h2d link
+    (at padFactor 0.25 the padded volume is ~3.4x the original bytes)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(img):
+        return jnp.pad(img.astype(jnp.dtype(dtype_name)),
+                       tuple(pad) + ((0, 0),), mode="symmetric")
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _minmax_fn(crop: tuple):
+    """Global min/max of the divided prediction over the crop window — the
+    stats pass of the two-pass uint8 streaming mode."""
+    import jax
+    import jax.numpy as jnp
+
+    (x0, xs), (y0, ys), (z0, zs) = crop
+
+    def f(pred, count):
+        v = (pred[x0 : x0 + xs, y0 : y0 + ys, z0 : z0 + zs]
+             / count[x0 : x0 + xs, y0 : y0 + ys, z0 : z0 + zs])
+        return jnp.min(v), jnp.max(v)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _finalize_u8_fn(crop_yz: tuple, band: int, c: int):
+    """uint8 band finalize: divide, apply the EXACT global 255 x min-max
+    scaling (stats from :func:`_minmax_fn`), round to uint8. The host's
+    ``255 * min_max_norm`` tail then reduces to the identity (the global
+    min/max voxels quantize to exactly 0 and 255), so the streamed bands are
+    within half a grey level of the float path on the final 0..255 scale —
+    and a quarter of its bytes on the link."""
+    import jax
+    import jax.numpy as jnp
+
+    (y0, ys), (z0, zs) = crop_yz
+
+    def f(pred, count, x0, mn, scale):
+        p = jax.lax.dynamic_slice(pred, (x0, y0, z0, 0), (band, ys, zs, c))
+        q = jax.lax.dynamic_slice(count, (x0, y0, z0, 0), (band, ys, zs, c))
+        v = (jnp.true_divide(p, q) - mn) * scale
+        return jnp.clip(jnp.round(v), 0.0, 255.0).astype(jnp.uint8)
 
     return jax.jit(f)
 
@@ -270,7 +330,8 @@ def _finalize_fn(crop_yz: tuple, band: int, c: int):
 def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gaussian,
                    steps_per_call: int = 24, max_chunks: Optional[int] = None,
                    mesh=None, mesh_axis: str = "data",
-                   crop: Optional[tuple] = None):
+                   crop: Optional[tuple] = None, stream_dtype: str = "float16",
+                   pad_spec: Optional[tuple] = None, upload_dtype: str = "float32"):
     # steps_per_call budget arithmetic: the axon TPU worker watchdog kills a
     # single XLA program after ~2 minutes (observed at 600^3, round 2). One
     # scan step = one generator batch ~= batch x ~50 ms for the f=16 ResU-Net
@@ -308,14 +369,24 @@ def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gau
 
     apply_fn, variables = device_apply
     token = _register_apply(apply_fn)
-    n = len(origins)
+    # The reference's clamped origin walk repeats its final origin on any
+    # axis where stride divides L-k (stitch_origins; custom_callback.py:
+    # 127-190) — e.g. the reference recipe's 512x512x128 volumes at stride
+    # 25 with padFactor 0.25 land on duplicated clamped starts. The generator
+    # is deterministic at inference, so each duplicate collapses into a
+    # multiplicity weight on the scatter-add: weight w3*m == adding the same
+    # patch m times — identical accumulation math, fewer generator runs.
+    # np.unique(axis=0) sorts rows lexicographically, preserving the x-major
+    # ascending order the band-emit frontier logic relies on.
+    uniq, mult = np.unique(np.asarray(origins, np.int32), axis=0, return_counts=True)
+    n = len(uniq)
     n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
     per_call = steps_per_call * batch * n_dev
     n_pad = _round_to(n, per_call)
     origins_arr = np.zeros((n_pad, 3), np.int32)
-    origins_arr[:n] = np.asarray(origins, np.int32)
+    origins_arr[:n] = uniq
     valid = np.zeros((n_pad,), np.float32)
-    valid[:n] = 1.0
+    valid[:n] = mult.astype(np.float32)
     chunk_starts = range(0, n_pad, per_call)
     if max_chunks is not None:
         chunk_starts = list(chunk_starts)[:max_chunks]
@@ -328,10 +399,30 @@ def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gau
     if n_dev == 1:
         import queue as _queue
         import threading
+        import time as _time
+
+        debug = bool(os.environ.get("VANGAN_STITCH_DEBUG"))
+        t_start = _time.perf_counter()
+
+        def _dbg(msg):
+            if debug:
+                import sys
+
+                sys.stderr.write(
+                    f"[stitch +{_time.perf_counter() - t_start:6.1f}s] {msg}\n")
+                sys.stderr.flush()
 
         fn = _device_stitch_fn(tuple(k), tuple(trims), batch, process_img, gaussian,
                                token)
-        img_d = jnp.asarray(img)
+        # minimise h2d bytes on the tunnelled link: optional 2-byte upload
+        # dtype (the chunk body gathers patches back to f32; generators
+        # compute in bf16 anyway), and the symmetric padFactor margin applied
+        # ON DEVICE (pad_spec) instead of shipping the padded volume
+        host_img = img if upload_dtype == "float32" else img.astype(np.dtype(upload_dtype))
+        if pad_spec is not None:
+            img_d = _pad_fn(tuple(pad_spec), upload_dtype)(jnp.asarray(host_img))
+        else:
+            img_d = jnp.asarray(host_img)
         pred = jnp.zeros(img_d.shape, jnp.float32)
         count = jnp.zeros(img_d.shape, jnp.float32)
 
@@ -349,14 +440,21 @@ def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gau
             while True:
                 item = q.get()
                 if item is None:
+                    q.put(None)  # wake the other download workers too
                     return
                 try:
+                    t0 = _time.perf_counter()
                     results[item[0]] = np.asarray(item[1], np.float32)
+                    _dbg(f"band {item[0]} downloaded "
+                         f"({_time.perf_counter() - t0:.1f}s)")
                 except Exception as e:  # surfaced after join
                     errs.append(e)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        # several workers: the tunnelled d2h link is per-stream limited, so
+        # concurrent band fetches overlap each other as well as the compute
+        workers = [threading.Thread(target=worker, daemon=True) for _ in range(3)]
+        for t in workers:
+            t.start()
         emitted = 0
 
         def emit(frontier, pred, count):
@@ -365,38 +463,64 @@ def _stitch_device(device_apply, img, origins, k, trims, batch, process_img, gau
                 bx, bs = bands[emitted]
                 if x0c + bx + bs > frontier:
                     return
-                fin = _finalize_fn(crop_yz, bs, c)
+                fin = _finalize_fn(crop_yz, bs, c, stream_dtype)
                 q.put((emitted, fin(pred, count, np.int32(x0c + bx))))
                 emitted += 1
 
-        for c0 in chunk_starts:
+        u8 = stream_dtype == "uint8"
+        for ci, c0 in enumerate(chunk_starts):
             o_chunk = origins_arr[c0 : c0 + per_call].reshape(steps_per_call, batch, 3)
             v_chunk = valid[c0 : c0 + per_call].reshape(steps_per_call, batch)
             pred, count = fn(pred, count, variables, img_d,
                              jnp.asarray(o_chunk), jnp.asarray(v_chunk))
+            _dbg(f"chunk {ci} dispatched")
             nxt = c0 + per_call
             # finalized frontier: every remaining REAL origin starts at or
-            # beyond origins[nxt][0] (x-major walk; pad entries are inert)
-            if max_chunks is None and nxt < n:
-                emit(origins[nxt][0], pred, count)
+            # beyond origins_arr[nxt][0] (x-major walk; pad entries are inert).
+            # uint8 mode emits nothing here: its exact global min-max scaling
+            # needs the stats pass, which needs every chunk done first.
+            if max_chunks is None and nxt < n and not u8:
+                emit(int(origins_arr[nxt][0]), pred, count)
         if max_chunks is None:
-            emit(10**9, pred, count)  # everything left
+            if u8:
+                # two-pass: global stats (one scalar-pair fetch syncs the
+                # chunk queue), then every band as exactly-scaled uint8 —
+                # a quarter of the f32 bytes on the ~5-20 MB/s link
+                mn_d, mx_d = _minmax_fn(crop)(pred, count)
+                mn, mx = float(mn_d), float(mx_d)
+                scale = 255.0 / (mx - mn) if mx > mn else 0.0
+                _dbg(f"stats pass done: min {mn:.4f} max {mx:.4f}")
+                for idx, (bx, bs) in enumerate(bands):
+                    fin = _finalize_u8_fn(crop_yz, bs, c)
+                    q.put((idx, fin(pred, count, np.int32(x0c + bx),
+                                    np.float32(mn), np.float32(scale))))
+            else:
+                emit(10**9, pred, count)  # everything left
         else:
             # warm-up: compile + download ONE band of each distinct shape
             # (first full band, ragged remainder) instead of the whole
             # cropped volume — the finalize jits are shape-keyed, so this
             # warms every program the real run uses without paying the full
-            # ~40 s d2h pass the warm-up exists to avoid.
+            # d2h pass the warm-up exists to avoid.
             seen = set()
+            if u8:
+                _minmax_fn(crop)(pred, count)  # compile the stats pass
             for idx, (bx, bs) in enumerate(bands):
                 if bs not in seen:
                     seen.add(bs)
-                    fin = _finalize_fn(crop_yz, bs, c)
-                    q.put((idx, fin(pred, count, np.int32(x0c + bx))))
+                    if u8:
+                        fin = _finalize_u8_fn(crop_yz, bs, c)
+                        q.put((idx, fin(pred, count, np.int32(x0c + bx),
+                                        np.float32(0.0), np.float32(1.0))))
+                    else:
+                        fin = _finalize_fn(crop_yz, bs, c, stream_dtype)
+                        q.put((idx, fin(pred, count, np.int32(x0c + bx))))
         q.put(None)
-        t.join()
+        for t in workers:
+            t.join()
         if errs:
             raise errs[0]
+        _dbg("all bands down")
         out = np.zeros((xs, ys, zs, c), np.float32)
         for idx, arr in results.items():
             bx, bs = bands[idx]
@@ -465,6 +589,8 @@ def stitch_subvolumes(
     max_chunks: Optional[int] = None,
     mesh=None,
     mesh_axis: str = "data",
+    stream_dtype: str = "float16",
+    upload_dtype: str = "float32",
 ) -> np.ndarray:
     """Predict a full volume by strided sliding-window stitching.
 
@@ -487,6 +613,18 @@ def stitch_subvolumes(
     split each chunk's patch batch across — multi-chip inference with
     per-device partial accumulators (the TPU-native analog of the
     reference's commented 4-GPU joblib fan-out, custom_callback.py:486-493).
+
+    ``stream_dtype`` (single-device device path): the dtype the finalized
+    x-bands cross the host link in. Default float16 — the link is the stitch
+    bottleneck and the output is min-maxed to uint8 range anyway; 'uint8'
+    runs a two-pass exact-global-min-max quantization (a quarter of the f32
+    bytes; within half a grey level of the float path on the final 0..255
+    scale — the right mode when the consumer is the uint8 TIFF artifact);
+    'float32' for bit-exact parity with the host oracle.
+
+    ``upload_dtype`` (single-device device path): the dtype the volume
+    crosses the h2d link in ('float16' halves the upload; patches are cast
+    back to f32 on device and the generators compute in bf16 anyway).
     """
     img = np.asarray(img, dtype=np.float32)
     two_d = img.ndim == 3
@@ -511,21 +649,26 @@ def stitch_subvolumes(
 
     oimgshape = img.shape
     xspacing = yspacing = zspacing = 0
+    pad_widths = None
     if complete:
         xspacing = int(padFactor * img.shape[0])
         yspacing = int(padFactor * img.shape[1])
-        if stride[2] == 1:
-            img = np.pad(img, ((xspacing, xspacing), (yspacing, yspacing), (0, 0), (0, 0)),
-                         "symmetric")
-        else:
+        if stride[2] != 1:
             zspacing = int(padFactor * img.shape[2])
-            img = np.pad(
-                img,
-                ((xspacing, xspacing), (yspacing, yspacing), (zspacing, zspacing), (0, 0)),
-                "symmetric",
-            )
+        pad_widths = ((xspacing, xspacing), (yspacing, yspacing), (zspacing, zspacing))
+        # the single-device device path pads ON DEVICE (the margin never
+        # crosses the h2d link, _pad_fn); the host/mesh paths pad here
+        if not (device_apply is not None and mesh is None):
+            img = np.pad(img, pad_widths + ((0, 0),), "symmetric")
+            pad_widths = None
 
-    H, W, D, C = img.shape
+    if pad_widths is not None:
+        H = img.shape[0] + 2 * xspacing
+        W = img.shape[1] + 2 * yspacing
+        D = img.shape[2] + 2 * zspacing
+        C = img.shape[3]
+    else:
+        H, W, D, C = img.shape
     kH, kW, kD = subvol_size[1], subvol_size[2], subvol_size[3]
 
     if not complete or not border_removal or blend == "gaussian":
@@ -556,6 +699,8 @@ def stitch_subvolumes(
             device_apply, img, origins, (kH, kW, kD),
             (0, 0, 0) if gauss else (pH, pW, pD), batch_size, process_img, gauss,
             max_chunks=max_chunks, mesh=mesh, mesh_axis=mesh_axis, crop=crop,
+            stream_dtype=stream_dtype, pad_spec=pad_widths,
+            upload_dtype=upload_dtype,
         )
         device_cropped = True
     else:
