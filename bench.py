@@ -297,13 +297,12 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
             "vs_baseline": round(patches_per_sec_per_chip / REF_PATCHES_PER_SEC_PER_CHIP, 4),
             "baseline": "estimated",
             # provenance: which probe configuration produced this number —
-            # a manually-set VANGAN_FUSE_PREACT/VANGAN_BENCH_REMAT override
+            # a manually-set VANGAN_BENCH_MODE/VANGAN_BENCH_REMAT override
             # must never be indistinguishable from the default config
             "config": {
                 "batch_per_chip": batch_per_chip,
                 "backward_mode": cfg.backward_mode,
                 "remat": bool(cfg.remat),
-                "fuse_preact": os.environ.get("VANGAN_FUSE_PREACT", "0"),
             },
         }
     )
@@ -389,7 +388,7 @@ def run_selftest() -> int:
 def _run_probe(args: list, tag: str, timeout: int = 3600, extra_env: dict = None):
     """One subprocess probe: full logs to bench_logs/, parsed JSON line or an
     extracted traceback back to the caller. extra_env is unused by the default
-    flow; it is retained for manual A/B runs (e.g. VANGAN_FUSE_PREACT arms)."""
+    flow; it is retained for manual A/B runs (e.g. VANGAN_BENCH_MODE arms)."""
     os.makedirs(LOG_DIR, exist_ok=True)
     env = {**os.environ, "JAX_TRACEBACK_FILTERING": "off", **(extra_env or {})}
     try:
@@ -510,9 +509,6 @@ def main() -> None:
     # winner (docs/BENCH_SESSION_r3.md) and prints the primary line the
     # moment it lands; the inference metric gets a reserved slice; batch 3
     # (reference-parity batch, split step) runs only with leftover budget.
-    # The fused-chain probes (VANGAN_FUSE_PREACT) were A/B'd on chip
-    # 2026-08-19 and REMOVED: batch 1 fused is a real ~3.5% regression and
-    # batch 3 fused+remat-off deterministically OOMs (docs/BENCH_SESSION_r3.md).
     INFER_RESERVE = 420.0
     results = []
     r = _probe_with_retry(["--batch", "1"], "batch1", failures,

@@ -115,123 +115,6 @@ def bench_launch_overhead():
           f"(vs ~{2 * 128**3 * c * 2 / 8.2e11 * 1e3:.2f} ms bandwidth floor)")
 
 
-def bench_fused_preact():
-    """Fused pre-act chain vs the unfused composition at the flagship block
-    shapes (VANGAN_FUSE_PREACT candidates, ops/pallas/fused_preact.py)."""
-    from vangan_tpu.ops.pallas import fused_preact as FP
-    from vangan_tpu.ops.pallas.instnorm import instance_norm_act
-
-    rng = np.random.default_rng(0)
-    pads = ((1, 1),) * 3
-    for name, ci, co, stride, X, Z in (
-        ("block 16->16", 16, 16, (1, 1, 1), 128, 128),
-        ("enc1 s2 16->32", 16, 32, (2, 2, 2), 128, 128),
-        ("dec0 48->16", 48, 16, (1, 1, 1), 128, 128),
-    ):
-        x = jnp.asarray(rng.normal(size=(1, X, ci, X, Z)), jnp.bfloat16)
-        w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)) * 0.2, jnp.bfloat16)
-        gamma = jnp.ones((ci,), jnp.float32)
-        beta = jnp.zeros((ci,), jnp.float32)
-
-        @jax.jit
-        def fused(x, w):
-            y = FP.preact_conv(x, gamma, beta, w, None, stride, pads,
-                               "reflect", "relu")
-            return jnp.sum(y.astype(jnp.float32))
-
-        @jax.jit
-        def unfused(x, w):
-            t = instance_norm_act(x, gamma, beta, 1e-3, "relu", 0.2)
-            y = conv3d_cxyz(t, w, None, stride, pads, "reflect")
-            return jnp.sum(y.astype(jnp.float32))
-
-        @jax.jit
-        def fused_bwd(x, w):
-            def loss(x, w):
-                y = FP.preact_conv(x, gamma, beta, w, None, stride, pads,
-                                   "reflect", "relu")
-                return jnp.sum(y.astype(jnp.float32) ** 2)
-
-            l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
-            return l + jnp.sum(gx.astype(jnp.float32)) + jnp.sum(gw.astype(jnp.float32))
-
-        @jax.jit
-        def unfused_bwd(x, w):
-            def loss(x, w):
-                t = instance_norm_act(x, gamma, beta, 1e-3, "relu", 0.2)
-                y = conv3d_cxyz(t, w, None, stride, pads, "reflect")
-                return jnp.sum(y.astype(jnp.float32) ** 2)
-
-            l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
-            return l + jnp.sum(gx.astype(jnp.float32)) + jnp.sum(gw.astype(jnp.float32))
-
-        print(f"{name:16s} fwd: fused {timed(fused, x, w):7.2f} ms  "
-              f"unfused {timed(unfused, x, w):7.2f} ms   "
-              f"fwd+bwd: fused {timed(fused_bwd, x, w):7.2f} ms  "
-              f"unfused {timed(unfused_bwd, x, w):7.2f} ms")
-
-
-def bench_dual_entry():
-    """Dual block-entry vs the two-op chain at the flagship block shapes."""
-    from vangan_tpu.ops.pallas import fused_preact as FP
-
-    rng = np.random.default_rng(0)
-    for name, ci, co, stride, X, Z in (
-        ("block 16->16", 16, 16, (1, 1, 1), 128, 128),
-        ("enc1 s2 16->32", 16, 32, (2, 2, 2), 128, 128),
-    ):
-        x = jnp.asarray(rng.normal(size=(1, X, ci, X, Z)), jnp.bfloat16)
-        w1 = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)) * 0.2, jnp.bfloat16)
-        ws = jnp.asarray(rng.normal(size=(1, 1, 1, ci, co)) * 0.2, jnp.bfloat16)
-        g0 = jnp.ones((ci,), jnp.float32)
-        b0 = jnp.zeros((ci,), jnp.float32)
-        pads = ((1, 1),) * 3
-
-        @jax.jit
-        def dual(x, w1, ws):
-            r = FP.dual_entry(x, None, g0, b0, w1, ws, stride)
-            return sum(jnp.sum(t.astype(jnp.float32)) for t in r)
-
-        @jax.jit
-        def two(x, w1, ws):
-            m, v = FP.stats_op(x)
-            r1, m1, v1 = FP.preact_conv_ext(x, m, v, g0, b0, w1, None, stride,
-                                            pads, "reflect", "relu",
-                                            emit_stats=True)
-            sc, mS, vS = FP.conv_stats(x, ws, None, stride, ((0, 0),) * 3, "zeros")
-            return sum(jnp.sum(t.astype(jnp.float32))
-                       for t in (r1, m1, v1, sc, mS, vS))
-
-        @jax.jit
-        def dual_bwd(x, w1, ws):
-            def loss(x, w1, ws):
-                r = FP.dual_entry(x, None, g0, b0, w1, ws, stride)
-                return sum(jnp.sum(t.astype(jnp.float32) ** 2) for t in r)
-
-            l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, w1, ws)
-            return l + sum(jnp.sum(t.astype(jnp.float32)) for t in g)
-
-        @jax.jit
-        def two_bwd(x, w1, ws):
-            def loss(x, w1, ws):
-                m, v = FP.stats_op(x)
-                r1, m1, v1 = FP.preact_conv_ext(x, m, v, g0, b0, w1, None,
-                                                stride, pads, "reflect", "relu",
-                                                emit_stats=True)
-                sc, mS, vS = FP.conv_stats(x, ws, None, stride,
-                                           ((0, 0),) * 3, "zeros")
-                return sum(jnp.sum(t.astype(jnp.float32) ** 2)
-                           for t in (r1, m1, v1, sc, mS, vS))
-
-            l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, w1, ws)
-            return l + sum(jnp.sum(t.astype(jnp.float32)) for t in g)
-
-        print(f"{name:16s} fwd: dual {timed(dual, x, w1, ws):7.2f} ms  "
-              f"two-op {timed(two, x, w1, ws):7.2f} ms   "
-              f"fwd+bwd: dual {timed(dual_bwd, x, w1, ws):7.2f} ms  "
-              f"two-op {timed(two_bwd, x, w1, ws):7.2f} ms")
-
-
 def main():
     if "--norm" in sys.argv:
         bench_norm()
@@ -239,18 +122,17 @@ def main():
     if "--launch" in sys.argv:
         bench_launch_overhead()
         return
-    if "--fp" in sys.argv:
-        bench_fused_preact()
-        return
-    if "--dual" in sys.argv:
-        bench_dual_entry()
-        return
     use_xla = "--xla" in sys.argv
     conv = conv3d_cxyz_reference if use_xla else conv3d_cxyz
     tag = "XLA" if use_xla else "Pallas"
+    only = None
+    if "--only" in sys.argv:  # substring filter, e.g. --only enc1
+        only = sys.argv[sys.argv.index("--only") + 1]
     rng = np.random.default_rng(0)
     print(f"# {tag} conv micro-bench (bf16, batch 1)")
     for name, k, ci, co, stride, pads, pad_mode, X, Z in CONFIGS:
+        if only and only not in name:
+            continue
         x = jnp.asarray(rng.normal(size=(1, X, ci, X, Z)), jnp.bfloat16)
         w = jnp.asarray(rng.normal(size=(*k, ci, co)) * 0.2, jnp.bfloat16)
 

@@ -252,270 +252,3 @@ class TestModelParityOnChip:
         assert float(np.mean(ratios)) < 1.3, f"mean live ratio {np.mean(ratios):.2f}"
         assert max(dead_noise, default=0.0) < 0.01, (
             f"dead-leaf spurious grad {max(dead_noise):.4f} of global norm")
-
-
-@requires_tpu
-class TestFusedPreactOnChip:
-    """Fused pre-activation conv (ops/pallas/fused_preact.py) on hardware.
-
-    Interpret-mode semantics are proven on CPU (tests/test_fused_preact.py);
-    this class is the Mosaic-lowering gate: the prologue broadcast + affine
-    rows must survive real compilation before VANGAN_FUSE_PREACT may flip on
-    (the flag's chip-validation contract, models/layers.py). Configs mirror
-    the flagship ResU-Net's PreActConvBlocks — the shapes the bench's fused
-    probes (bench.py batch*_fp) actually run.
-    """
-
-    CONFIGS = [
-        # (k, ci, co, stride, pads, pad_mode, shape(B,X,Ci,Y,Z), dtype)
-        # workhorse block conv (resunet_model.py:42-66) in bf16
-        ((3, 3, 3), 16, 16, (1, 1, 1), ((1, 1),) * 3, "reflect", (1, 32, 16, 32, 128), "bfloat16"),
-        # stride-2 encoder pre-act conv
-        ((3, 3, 3), 16, 32, (2, 2, 2), ((1, 1),) * 3, "reflect", (1, 32, 16, 32, 64), "bfloat16"),
-        # dec-block wide-in/narrow-out (form_b selection class)
-        ((3, 3, 3), 48, 16, (1, 1, 1), ((1, 1),) * 3, "reflect", (1, 16, 48, 16, 128), "bfloat16"),
-        # f32 row: near-bit-exactness of the prologue arithmetic
-        ((3, 3, 3), 16, 16, (1, 1, 1), ((1, 1),) * 3, "reflect", (1, 16, 16, 16, 128), "float32"),
-    ]
-
-    @pytest.mark.parametrize("cfg_i", range(len(CONFIGS)))
-    def test_fused_equals_unfused_on_chip(self, rng, cfg_i):
-        from vangan_tpu.ops.pallas import conv3d as C
-        from vangan_tpu.ops.pallas import fused_preact as FP
-        from vangan_tpu.ops.pallas import instnorm as IN
-
-        k, ci, co, stride, pads, pad_mode, shape, dtype = self.CONFIGS[cfg_i]
-        dt = jnp.dtype(dtype)
-        x = jnp.asarray(rng.normal(size=shape) * 2 + 0.5, jnp.float32).astype(dt)
-        gamma = jnp.asarray(rng.normal(size=(ci,)) * 0.5 + 1, jnp.float32)
-        beta = jnp.asarray(rng.normal(size=(ci,)) * 0.3, jnp.float32)
-        w = jnp.asarray(rng.normal(size=(*k, ci, co)) * 0.2, jnp.float32).astype(dt)
-        b = jnp.asarray(rng.normal(size=(co,)), jnp.float32)
-        # fused and unfused share every arithmetic step (stats kernel, affine
-        # rounding in the compute dtype, conv kernels with f32 accumulators);
-        # the residual tolerance covers tap-matrix vs HBM-materialised t
-        # rounding order only
-        tol = 1e-3 if dtype == "float32" else 2e-2
-
-        def fused(x, gamma, beta, w, b):
-            return FP.preact_conv(x, gamma, beta, w, b, stride, pads, pad_mode,
-                                  "relu", 0.2, 1e-3)
-
-        def unfused(x, gamma, beta, w, b):
-            t = IN.instance_norm_act(x, gamma, beta, 1e-3, "relu", 0.2)
-            return C.conv3d_cxyz(t, w, b, stride, pads, pad_mode)
-
-        assert FP.preact_conv_supported(shape, k, stride, pads, pad_mode,
-                                        "relu", dt.itemsize, co=co)
-        y_f = jax.jit(fused)(x, gamma, beta, w, b)
-        y_u = jax.jit(unfused)(x, gamma, beta, w, b)
-        assert y_f.shape == y_u.shape
-        yf, yu = jnp.asarray(y_f, jnp.float32), jnp.asarray(y_u, jnp.float32)
-        scale = float(jnp.max(jnp.abs(yu))) + 1e-6
-        assert float(jnp.max(jnp.abs(yf - yu))) / scale < tol
-
-        ct = jnp.asarray(rng.normal(size=y_f.shape), jnp.float32).astype(dt)
-        argnums = (0, 1, 2, 3, 4)
-        g_f = jax.jit(jax.grad(
-            lambda *a: jnp.sum(fused(*a).astype(jnp.float32)
-                               * ct.astype(jnp.float32)), argnums=argnums))(
-            x, gamma, beta, w, b)
-        g_u = jax.jit(jax.grad(
-            lambda *a: jnp.sum(unfused(*a).astype(jnp.float32)
-                               * ct.astype(jnp.float32)), argnums=argnums))(
-            x, gamma, beta, w, b)
-        for name, a_, b_ in zip(("dx", "dgamma", "dbeta", "dw", "dbias"), g_f, g_u):
-            af, bf = jnp.asarray(a_, jnp.float32), jnp.asarray(b_, jnp.float32)
-            s = float(jnp.max(jnp.abs(bf))) + 1e-6
-            assert float(jnp.max(jnp.abs(af - bf))) / s < tol, name
-
-    def test_block_chain_f32(self, rng):
-        """Two stacked PreActConvBlocks, VANGAN_FUSE_PREACT on vs off, f32:
-        identical param trees and near-bit-exact outputs through the chain
-        (the module-level wiring on real kernels, not just the raw op)."""
-        from vangan_tpu.models.layers import PreActConvBlock
-
-        import flax.linen as nn
-
-        class Chain(nn.Module):
-            @nn.compact
-            def __call__(self, x):
-                x = PreActConvBlock(16, layout="NXCYZ", name="b0")(x)
-                return PreActConvBlock(16, layout="NXCYZ", name="b1")(x)
-
-        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 128)), jnp.float32)
-        outs, trees = [], []
-        old = os.environ.get("VANGAN_FUSE_PREACT")
-        try:
-            for flag in ("0", "1"):
-                os.environ["VANGAN_FUSE_PREACT"] = flag
-                m = Chain()
-                v = m.init(jax.random.PRNGKey(0), x)
-                trees.append(jax.tree_util.tree_structure(v))
-                outs.append(np.asarray(jax.jit(m.apply)(v, x)))
-        finally:
-            if old is None:
-                os.environ.pop("VANGAN_FUSE_PREACT", None)
-            else:
-                os.environ["VANGAN_FUSE_PREACT"] = old
-        assert trees[0] == trees[1]
-        scale = float(np.max(np.abs(outs[0]))) + 1e-6
-        assert float(np.max(np.abs(outs[0] - outs[1]))) / scale < 2e-3
-
-    @pytest.mark.parametrize("dtype,tol", [("float32", 1e-3), ("bfloat16", 2e-2)])
-    def test_resblock_chain_on_chip(self, rng, dtype, tol):
-        """ResUNetResidualBlock fused chain (3 launches: emit-stats shortcut
-        conv, pro+emit conv, pro+epi+emit conv) vs the unfused module graph
-        on hardware — the Mosaic gate for the conv3d stats/epi kernel arms
-        (in-kernel Welford row merge, epilogue shortcut broadcast) and the
-        composed per-op backward (fwd + grads).
-
-        Grad comparisons run under matmul precision "highest": at DEFAULT,
-        XLA's f32 dots use bf16 passes whose rounding — amplified by the
-        cancellation in IN-parameter grads (mathematically near-null
-        directions) — swamps the fused/unfused route difference by ~1e-1
-        relative on block1/shortcut leaves (measured on-chip 2026-08-18;
-        under "highest" both compiled routes and interpret all agree to
-        ~3e-6). Pinning precision makes the gate test LOWERING fidelity,
-        which is its job; training numerics at DEFAULT are identically
-        noisy with the flag on or off."""
-        from vangan_tpu.models.layers import ResUNetResidualBlock, _jnp_stats
-
-        dt = jnp.dtype(dtype)
-        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 128)) * 1.5 + 0.3,
-                        jnp.float32).astype(dt)
-
-        def run(flag):
-            old = os.environ.get("VANGAN_FUSE_PREACT")
-            os.environ["VANGAN_FUSE_PREACT"] = flag
-            try:
-                m = ResUNetResidualBlock(32, strides=2, layout="NXCYZ")
-                v = m.init(jax.random.PRNGKey(0), x)
-
-                def fwd(vv, xx):
-                    return m.apply(vv, xx, emit_stats=True)
-
-                def loss(vv):
-                    yy, mm, vvv = fwd(vv, x)
-                    return (jnp.sum(yy.astype(jnp.float32) ** 2)
-                            + jnp.sum(mm) + jnp.sum(vvv))
-
-                with jax.default_matmul_precision("highest"):
-                    y, mean, var = jax.jit(fwd)(v, x)
-                    g = jax.jit(jax.grad(loss))(v)
-                return v, np.asarray(y, np.float32), np.asarray(mean), \
-                    np.asarray(var), g
-            finally:
-                if old is None:
-                    os.environ.pop("VANGAN_FUSE_PREACT", None)
-                else:
-                    os.environ["VANGAN_FUSE_PREACT"] = old
-
-        v0, y0, m0, s0, g0 = run("0")
-        v1, y1, m1, s1, g1 = run("1")
-        assert (jax.tree_util.tree_structure(g0)
-                == jax.tree_util.tree_structure(g1))
-        scale = float(np.max(np.abs(y0))) + 1e-6
-        assert float(np.max(np.abs(y0 - y1))) / scale < tol
-        # lowering gate, not a numerics pin (CPU tests pin those): the fused
-        # and unfused outputs themselves differ by up to tol*scale
-        np.testing.assert_allclose(m1, m0, atol=tol * scale, rtol=tol)
-        np.testing.assert_allclose(s1, s0, atol=tol * scale, rtol=tol)
-        for (k0, a_), (k1, b_) in zip(
-            jax.tree_util.tree_leaves_with_path(g0),
-            jax.tree_util.tree_leaves_with_path(g1),
-        ):
-            af, bf = np.asarray(a_, np.float32), np.asarray(b_, np.float32)
-            s = float(np.max(np.abs(bf))) + 1e-6
-            assert float(np.max(np.abs(af - bf))) / s < 3 * tol, \
-                jax.tree_util.keystr(k0)
-
-    def test_disc_link_on_chip(self, rng):
-        """Discriminator chain link on hardware: conv emit-stats epilogue ->
-        stats-external InstanceNorm apply (instnorm.apply_with_stats) vs the
-        unfused composition, bf16 values + all grads — the Mosaic gate for
-        the emit arm at PatchGAN shapes (4^3 stride-2, leaky_relu)."""
-        from vangan_tpu.ops.pallas import conv3d as C
-        from vangan_tpu.ops.pallas import fused_preact as FP
-        from vangan_tpu.ops.pallas import instnorm as IN
-
-        ci, co = 16, 32
-        dt = jnp.bfloat16
-        x = jnp.asarray(rng.normal(size=(1, 16, ci, 16, 128)) * 1.5, jnp.float32).astype(dt)
-        w = jnp.asarray(rng.normal(size=(4, 4, 4, ci, co)) * 0.2, jnp.float32).astype(dt)
-        gamma = jnp.asarray(rng.normal(size=(co,)) * 0.4 + 1, jnp.float32)
-        beta = jnp.asarray(rng.normal(size=(co,)) * 0.3, jnp.float32)
-        pads = ((1, 1),) * 3
-
-        def chained(x, w, gamma, beta):
-            y, m, v = FP.conv_stats(x, w, None, (2, 2, 2), pads, "reflect")
-            return IN.apply_with_stats(y, m, v, gamma, beta, 1e-3, "leaky_relu", 0.2)
-
-        def unchained(x, w, gamma, beta):
-            y = C.conv3d_cxyz(x, w, None, (2, 2, 2), pads, "reflect")
-            return IN.instance_norm_act(y, gamma, beta, 1e-3, "leaky_relu", 0.2)
-
-        y_c = jax.jit(chained)(x, w, gamma, beta)
-        y_u = jax.jit(unchained)(x, w, gamma, beta)
-        yc, yu = jnp.asarray(y_c, jnp.float32), jnp.asarray(y_u, jnp.float32)
-        scale = float(jnp.max(jnp.abs(yu))) + 1e-6
-        assert float(jnp.max(jnp.abs(yc - yu))) / scale < 2e-2
-
-        ct = jnp.asarray(rng.normal(size=y_c.shape), jnp.float32)
-        argnums = (0, 1, 2, 3)
-        g_c = jax.jit(jax.grad(
-            lambda *a: jnp.sum(chained(*a).astype(jnp.float32) * ct),
-            argnums=argnums))(x, w, gamma, beta)
-        g_u = jax.jit(jax.grad(
-            lambda *a: jnp.sum(unchained(*a).astype(jnp.float32) * ct),
-            argnums=argnums))(x, w, gamma, beta)
-        for name, a_, b_ in zip(("dx", "dw", "dgamma", "dbeta"), g_c, g_u):
-            af, bf = jnp.asarray(a_, jnp.float32), jnp.asarray(b_, jnp.float32)
-            s = float(jnp.max(jnp.abs(bf))) + 1e-6
-            assert float(jnp.max(jnp.abs(af - bf))) / s < 6e-2, name
-
-    def test_vnet_link_on_chip(self, rng):
-        """VNet chain link on hardware: output-activation conv (relu in the
-        store epilogue, conv3d.py ``oact``) + emitted stats -> stats-external
-        IN apply, bf16 values + grads."""
-        from vangan_tpu.ops.pallas import conv3d as C
-        from vangan_tpu.ops.pallas import fused_preact as FP
-        from vangan_tpu.ops.pallas import instnorm as IN
-
-        ci, co = 16, 16
-        dt = jnp.bfloat16
-        x = jnp.asarray(rng.normal(size=(1, 16, ci, 16, 128)) * 1.5, jnp.float32).astype(dt)
-        w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)) * 0.2, jnp.float32).astype(dt)
-        b = jnp.asarray(rng.normal(size=(co,)) * 0.3, jnp.float32)
-        gamma = jnp.asarray(rng.normal(size=(co,)) * 0.4 + 1, jnp.float32)
-        beta = jnp.asarray(rng.normal(size=(co,)) * 0.3, jnp.float32)
-        pads = ((1, 1),) * 3
-
-        def chained(x, w, b, gamma, beta):
-            y, m, v = FP.conv_act_stats(x, w, b, (1, 1, 1), pads, "reflect",
-                                        "relu", 0.2)
-            return IN.apply_with_stats(y, m, v, gamma, beta, 1e-3, "none", 0.2)
-
-        def unchained(x, w, b, gamma, beta):
-            y = C.conv3d_cxyz(x, w, b, (1, 1, 1), pads, "reflect")
-            y = jnp.maximum(y, 0)
-            return IN.instance_norm_act(y, gamma, beta, 1e-3, "none", 0.2)
-
-        y_c = jax.jit(chained)(x, w, b, gamma, beta)
-        y_u = jax.jit(unchained)(x, w, b, gamma, beta)
-        yc, yu = jnp.asarray(y_c, jnp.float32), jnp.asarray(y_u, jnp.float32)
-        scale = float(jnp.max(jnp.abs(yu))) + 1e-6
-        assert float(jnp.max(jnp.abs(yc - yu))) / scale < 2e-2
-
-        ct = jnp.asarray(rng.normal(size=y_c.shape), jnp.float32)
-        argnums = (0, 1, 2, 3, 4)
-        g_c = jax.jit(jax.grad(
-            lambda *a: jnp.sum(chained(*a).astype(jnp.float32) * ct),
-            argnums=argnums))(x, w, b, gamma, beta)
-        g_u = jax.jit(jax.grad(
-            lambda *a: jnp.sum(unchained(*a).astype(jnp.float32) * ct),
-            argnums=argnums))(x, w, b, gamma, beta)
-        for name, a_, b_ in zip(("dx", "dw", "db", "dgamma", "dbeta"), g_c, g_u):
-            af, bf = jnp.asarray(a_, jnp.float32), jnp.asarray(b_, jnp.float32)
-            s = float(jnp.max(jnp.abs(bf))) + 1e-6
-            assert float(jnp.max(jnp.abs(af - bf))) / s < 6e-2, name

@@ -232,7 +232,7 @@ def save_args(cfg, filename: str) -> None:
         for arg, value in items:
             f.write(f"{arg}: {format_value(value)}\n")
         # runtime env toggles that shape the compiled program (reproducibility)
-        for env in ("VANGAN_FUSE_PREACT", "VANGAN_CONV_DB", "VANGAN_CONV_STACK",
-                    "VANGAN_CONV_YB_MAX"):
+        for env in ("VANGAN_CONV_DB", "VANGAN_CONV_STACK",
+                    "VANGAN_CONV_YB_MAX", "VANGAN_INSTNORM_BLOCK_KIB"):
             if env in os.environ:
                 f.write(f"env {env}: {os.environ[env]}\n")

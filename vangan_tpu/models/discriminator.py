@@ -23,7 +23,6 @@ from vangan_tpu.models.layers import (
     Dtype,
     GaussianNoise,
     InstanceNorm,
-    conv_then_inorm,
     spatial_dropout,
     to_nxcyz,
     to_nxyzc,
@@ -75,16 +74,8 @@ class PatchGANDiscriminator3D(nn.Module):
             x = nn.SpectralNorm(first_conv)(x, update_stats=train)
             x = nn.leaky_relu(x, 0.2)
         else:
-            # conv0 emits inorm0's stats from its epilogue — the
-            # discriminator chain (see DiscDownsample; the ci=1 input conv
-            # falls back to a jnp stats pass when the Pallas emit gate
-            # rejects it, same math either way)
-            x = conv_then_inorm(
-                first_conv,
-                InstanceNorm(act="leaky_relu", layout=lt, dtype=self.dtype,
-                             name="inorm0"),
-                x,
-            )
+            x = InstanceNorm(act="leaky_relu", layout=lt, dtype=self.dtype,
+                             name="inorm0")(first_conv(x))
 
         num_filters = self.filters
         for block in range(self.num_downsampling):

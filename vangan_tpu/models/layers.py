@@ -32,29 +32,13 @@ from vangan_tpu.ops.pallas.conv3d import (
     conv3d_cxyz_reference,
     pallas_active,
 )
-from vangan_tpu.ops.pallas.fused_preact import preact_conv
-
-
-def fused_preact_mode() -> str:
-    """VANGAN_FUSE_PREACT: '0' (off, default until chip-validated), '1'
-    (full chain: prologue + emitted stats + epi/oact epilogues), or 'pro'
-    (prologue-only graceful degradation — the IN affine+act still folds into
-    each consumer conv via the monolithic preact_conv, but no stats are
-    emitted or threaded; use when the chip gate passes the prologue arm but
-    fails an epilogue arm). Parameter trees are IDENTICAL in every mode —
-    the flag can flip between checkpoint save/load."""
-    v = os.environ.get("VANGAN_FUSE_PREACT", "0")
-    return v if v in ("0", "1", "pro") else "0"
-
-
-def fused_preact_enabled() -> bool:
-    """Whether any prologue folding is on (see fused_preact_mode)."""
-    return fused_preact_mode() in ("1", "pro")
-
-
-def fused_chain_enabled() -> bool:
-    """Whether the FULL chain (emitted stats, epi/oact epilogues) is on."""
-    return fused_preact_mode() == "1"
+# NOTE (round 4): the VANGAN_FUSE_PREACT whole-chain fusion (IN folded into
+# conv prologues/epilogues, producer-emitted stats threaded between blocks)
+# was REMOVED after chip A/Bs measured it a loser in every value case:
+# batch-1 train step 1.5456 vs 1.6011 unfused (-3.5%), batch-3 fused
+# remat-off HBM OOM, and forward-only inference 47.2 vs 41.5 ms/patch
+# (-14%) — the chained kernels' extra prologue/epilogue work costs more
+# than the launches they delete (docs/BENCH_SESSION_r3.md, docs/PERF.md).
 
 Dtype = Any
 
@@ -151,33 +135,7 @@ class ConvND(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        norm_prologue=None,
-        stats=None,
-        emit_stats: bool = False,
-        epi=None,
-        act_epi=None,
-        export_params: bool = False,
-    ):
-        # Chain-fusion surface (ops/pallas/fused_preact.py; NXCYZ 3-D only):
-        # - ``norm_prologue`` = (gamma, beta, act, alpha, eps): apply a full
-        #   InstanceNorm+activation before the conv — fused into the Pallas
-        #   conv's slab prologue when supported, identical unfused composition
-        #   otherwise.
-        # - ``stats`` = (mean, var): the prologue's InstanceNorm statistics,
-        #   emitted by the conv that produced ``x`` (chained) — must equal
-        #   stats(x); the fallback recomputes them (same math, same grads).
-        # - ``emit_stats``: also return this output's per-(B, C) f32
-        #   (mean, var) — returns (y, mean, var).
-        # - ``epi`` = (short, mean_s, var_s, gamma_s, beta_s): fold the
-        #   projected-shortcut InstanceNorm apply + residual add into the
-        #   store epilogue (y += IN(short), no activation).
-        # - ``act_epi`` = (act, alpha): output-activation epilogue (VNet's
-        #   act-then-norm order) — y = act(conv + bias); emitted stats
-        #   describe the activated tensor. Mutually exclusive with
-        #   norm_prologue/epi.
+    def __call__(self, x: jnp.ndarray):
         # Spatial rank is inferred from the input: 5-D volumes (the default)
         # or 4-D images (cfg.DIMENSIONS == 2 — genuine 2-D support, which the
         # reference half-declares but cannot run: its models are Conv3D-only,
@@ -205,11 +163,6 @@ class ConvND(nn.Module):
             else None
         )
         dtype = self.dtype or x.dtype
-        if export_params:
-            # dual block-entry composition (fused_preact.dual_entry): the
-            # PARENT fuses this conv with a sibling in one kernel — create
-            # the identical params and hand them over instead of computing
-            return kernel.astype(dtype), bias
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         stride = _norm_stride(self.strides, n_sp)
@@ -219,14 +172,6 @@ class ConvND(nn.Module):
             else tuple(x.shape[1 : 1 + n_sp])
         )
         pads = _norm_padding(self.padding, k, stride, dims)
-
-        if (norm_prologue is not None or emit_stats or epi is not None
-                or stats is not None or act_epi is not None):
-            return self._norm_chain(
-                x, kernel, bias, k, stride, pads, n_sp,
-                norm_prologue, stats, emit_stats, epi, act_epi,
-            )
-
         return self._plain_conv(x, kernel, bias, k, stride, pads, n_sp)
 
     def _plain_conv(self, x, kernel, bias, k, stride, pads, n_sp):
@@ -267,109 +212,6 @@ class ConvND(nn.Module):
             y = y + bias.astype(dtype)
         return y
 
-    def _norm_chain(
-        self, x, kernel, bias, k, stride, pads, n_sp,
-        norm_prologue, stats, emit_stats, epi, act_epi=None,
-    ):
-        """Chain-fusion dispatch: fully-fused Pallas ops when supported, a
-        semantics-identical unfused composition otherwise. The chain kwargs
-        are NXCYZ-3-D-only (the blocks gate on the layout before passing
-        them); ``norm_prologue`` alone also works on the fallback paths."""
-        from vangan_tpu.ops.pallas.fused_preact import (
-            chain_conv_supported,
-            conv_act_stats,
-            conv_stats,
-            preact_conv_ext,
-            stats_op,
-        )
-
-        has_pro = norm_prologue is not None
-        chain_extra = emit_stats or epi is not None
-        if chain_extra or stats is not None or act_epi is not None:
-            assert self.layout == "NXCYZ" and n_sp == 3, (
-                "stats/emit_stats/epi/act_epi are NXCYZ 3-D chain-fusion kwargs"
-            )
-        assert act_epi is None or (not has_pro and epi is None and stats is None), (
-            "act_epi composes with emit_stats only"
-        )
-        n_act, n_alpha, n_eps = ("none", 0.2, 1e-3)
-        if has_pro:
-            gamma, beta, n_act, n_alpha, n_eps = norm_prologue
-
-        on_pallas = (
-            n_sp == 3
-            and self.layout == "NXCYZ"
-            and x.shape[-1] >= self.min_pallas_z
-        )
-        if act_epi is not None:
-            oa, oal = act_epi
-            if on_pallas and chain_conv_supported(
-                x.shape, k, stride, pads, self.pad_mode, "none",
-                x.dtype.itemsize, co=self.features, pro=False,
-                emit=emit_stats, epi=False,
-            ) and oa in ("none", "relu", "leaky_relu"):
-                return conv_act_stats(x, kernel, bias, stride, pads,
-                                      self.pad_mode, oa, oal,
-                                      emit_stats=emit_stats)
-            y = self._plain_conv(x, kernel, bias, k, stride, pads, n_sp)
-            if oa == "relu":
-                y = nn.relu(y)
-            elif oa == "leaky_relu":
-                y = nn.leaky_relu(y, oal)
-            if emit_stats:
-                return y, *_jnp_stats(y)
-            return y
-        if on_pallas and chain_conv_supported(
-            x.shape, k, stride, pads, self.pad_mode, n_act,
-            x.dtype.itemsize, co=self.features, pro=has_pro,
-            emit=emit_stats, epi=epi is not None,
-        ):
-            if has_pro:
-                if stats is None:
-                    if chain_extra:
-                        stats = stats_op(x)
-                    else:
-                        # no chain extras: the monolithic internal-stats op
-                        # (single custom_vjp, c1/c2-folded backward)
-                        return preact_conv(
-                            x, gamma, beta, kernel, bias, stride, pads,
-                            self.pad_mode, n_act, n_alpha, n_eps,
-                        )
-                r = preact_conv_ext(
-                    x, stats[0], stats[1], gamma, beta, kernel, bias,
-                    stride, pads, self.pad_mode, n_act, n_alpha, n_eps,
-                    emit_stats=emit_stats, epi=epi,
-                )
-            else:
-                # plain conv with chain extras (the projected shortcut / a
-                # chain entry conv): emit via the kernel epilogue
-                assert epi is None, "epi without a prologue is unused by the models"
-                r = conv_stats(x, kernel, bias, stride, pads, self.pad_mode)
-                if not emit_stats:
-                    r = r[0]
-            return r
-
-        # ---- unfused fallback: identical semantics, separate ops ----
-        if has_pro:
-            # external stats (if any) are by contract exactly stats(x):
-            # recomputing gives the same values and, by the chain rule
-            # through the same function, the same total gradients
-            x = apply_instance_norm(
-                x, gamma, beta, eps=n_eps, act=n_act, alpha=n_alpha,
-                layout=self.layout, dtype=x.dtype,
-            )
-        y = self._plain_conv(x, kernel, bias, k, stride, pads, n_sp)
-        if epi is not None:
-            short, _, _, gamma_s, beta_s = epi
-            y = y + apply_instance_norm(
-                short, gamma_s, beta_s, eps=n_eps, act="none",
-                layout=self.layout, dtype=y.dtype,
-            )
-        if emit_stats:
-            return y, *_jnp_stats(y)
-        return y
-
-
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalisation over spatial dims, with an
     optional fused activation epilogue.
@@ -394,10 +236,9 @@ class InstanceNorm(nn.Module):
     leaky_slope: float = 0.2
     layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
-    defer: bool = False  # return (x, gamma, beta) unapplied (pre-act fusion)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, stats=None):
+    def __call__(self, x: jnp.ndarray):
         cax = channel_axis(self.layout) % x.ndim
         c = x.shape[cax]
         bshape = [1] * x.ndim
@@ -412,28 +253,6 @@ class InstanceNorm(nn.Module):
             if self.use_bias
             else jnp.zeros((c,), jnp.float32)
         )
-        if self.defer:
-            # pre-act fusion (PreActConvBlock): the consumer ConvND applies
-            # the whole norm via its ``norm_prologue`` — params (and hence
-            # checkpoints) stay identical to the unfused tree
-            return x, gamma, beta
-
-        if stats is not None:
-            # stats-external apply (discriminator chain): the producing conv
-            # emitted this tensor's (mean, var) from its epilogue, so the
-            # standalone stats launch — a full HBM read of x — is skipped
-            # (ops/pallas/instnorm.apply_with_stats; NXCYZ 3-D only)
-            assert self.layout == "NXCYZ" and x.ndim == 5, (
-                "InstanceNorm stats= is an NXCYZ 3-D chain-fusion kwarg"
-            )
-            from vangan_tpu.ops.pallas.instnorm import apply_with_stats
-
-            y = apply_with_stats(
-                x, stats[0], stats[1], gamma, beta, self.epsilon, self.act,
-                self.leaky_slope,
-            )
-            return y.astype(self.dtype or x.dtype)
-
         return apply_instance_norm(
             x, gamma, beta, eps=self.epsilon, act=self.act,
             alpha=self.leaky_slope, layout=self.layout,
@@ -453,8 +272,7 @@ def apply_instance_norm(
     dtype: Optional[Dtype] = None,
 ) -> jnp.ndarray:
     """Parameter-free InstanceNorm+act dispatch (fused Pallas kernels on the
-    NXCYZ layout, jnp otherwise) — shared by the InstanceNorm module and the
-    ConvND ``norm_prologue`` fallback so both paths are one implementation."""
+    NXCYZ layout, jnp otherwise)."""
     from vangan_tpu.ops.pallas.instnorm import (
         instance_norm_act,
         instance_norm_act_supported,
@@ -558,14 +376,12 @@ class NormAct(nn.Module):
     act: bool = True
     layout: str = "NXYZC"
     dtype: Optional[Dtype] = None
-    defer: bool = False  # return (x, gamma, beta) for pre-act conv fusion
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         return InstanceNorm(
             act="relu" if self.act else "none",
             layout=self.layout, dtype=self.dtype, name="inorm",
-            defer=self.defer,
         )(x)
 
 
@@ -587,42 +403,15 @@ class PreActConvBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, stats_in=None, emit_stats: bool = False,
-                 epi=None, export_params: bool = False):
-        # Pre-act fusion (VANGAN_FUSE_PREACT): defer the norm into the conv's
-        # slab prologue. Param tree and semantics are identical either way;
-        # ConvND falls back to the unfused composition when the fused kernels
-        # can't run this shape. Chain kwargs (stats_in / emit_stats / epi) are
-        # forwarded to ConvND — see its docstring; they may only be passed on
-        # the NXCYZ layout (the blocks gate before passing).
-        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_preact_enabled()
-        norm_act = NormAct(layout=self.layout, dtype=self.dtype,
-                           name="norm_act", defer=fuse or export_params)
+    def __call__(self, x: jnp.ndarray):
+        norm_act = NormAct(layout=self.layout, dtype=self.dtype, name="norm_act")
         p = self.kernel_size // 2
-        if export_params:
-            _, gamma, beta = norm_act(x)
-            kernel, bias = ConvND(
-                self.filters, self.kernel_size, self.strides,
-                padding=uniform_pads(p, x), pad_mode="reflect",
-                use_bias=self.use_bias, layout=self.layout,
-                dtype=self.dtype, name="conv",
-            )(x, export_params=True)
-            return gamma, beta, kernel, bias
-        if fuse:
-            x, gamma, beta = norm_act(x)
-            return ConvND(
-                self.filters, self.kernel_size, self.strides,
-                padding=uniform_pads(p, x), pad_mode="reflect",
-                use_bias=self.use_bias, layout=self.layout,
-                dtype=self.dtype, name="conv",
-            )(x, norm_prologue=(gamma, beta, "relu", 0.2, 1e-3),
-              stats=stats_in, emit_stats=emit_stats, epi=epi)
         x = norm_act(x)
         return ConvND(
             self.filters, self.kernel_size, self.strides, padding=uniform_pads(p, x),
             pad_mode="reflect", use_bias=self.use_bias, layout=self.layout,
             dtype=self.dtype, name="conv",
-        )(x, emit_stats=emit_stats, epi=epi)
+        )(x)
 
 
 class Stem(nn.Module):
@@ -634,13 +423,10 @@ class Stem(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emit_stats: bool = False):
+    def __call__(self, x: jnp.ndarray):
         # conv1 feeds conv_block's InstanceNorm and shortcut feeds
         # shortcut_norm directly: biases there are exactly cancelled by the
         # IN mean-subtraction (dead params; see PreActConvBlock docstring).
-        # Chain wiring needs the FULL mode; in 'pro' mode the plain structure
-        # runs and each PreActConvBlock folds its prologue internally.
-        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_chain_enabled()
         conv1 = ConvND(
             self.filters, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
             use_bias=False, layout=self.layout, dtype=self.dtype, name="conv1",
@@ -653,43 +439,15 @@ class Stem(nn.Module):
             layout=self.layout, dtype=self.dtype, name="shortcut",
         )
         shortcut_norm = NormAct(act=False, layout=self.layout, dtype=self.dtype,
-                                name="shortcut_norm", defer=fuse)
-        if fuse:
-            # chain wiring: conv1 emits conv_block's IN stats; the shortcut
-            # norm + residual add fold into conv_block's conv epilogue
-            c1, m1, v1 = conv1(x, emit_stats=True)
-            sc, m_s, v_s = shortcut_conv(x, emit_stats=True)
-            _, gamma_s, beta_s = shortcut_norm(sc)
-            return conv_block(
-                c1, stats_in=(m1, v1), emit_stats=emit_stats,
-                epi=(sc, m_s, v_s, gamma_s, beta_s),
-            )
+                                name="shortcut_norm")
         conv = conv_block(conv1(x))
         shortcut = shortcut_norm(shortcut_conv(x))
-        out = conv + shortcut
-        if emit_stats:
-            return out, *_jnp_stats(out)
-        return out
-
-
-def _jnp_stats(y: jnp.ndarray):
-    """Per-(B, C) f32 (mean, var) on the NXCYZ layout — the chain-fusion
-    fallback's stats emission (differentiable through jnp)."""
-    mean = jnp.mean(y, axis=(1, 3, 4), dtype=jnp.float32)
-    yc = y.astype(jnp.float32) - mean[:, None, :, None, None]
-    var = jnp.mean(lax.square(yc), axis=(1, 3, 4), dtype=jnp.float32)
-    return mean, var
+        return conv + shortcut
 
 
 class ResUNetResidualBlock(nn.Module):
     """Pre-activation residual block with projected shortcut
-    (resunet_model.py:103-143).
-
-    Chain fusion (VANGAN_FUSE_PREACT, NXCYZ): 3 Pallas conv launches —
-    block1 consumes ``stats_in`` (the producer-emitted InstanceNorm stats of
-    ``x``) and emits block2's; the shortcut conv emits its own; block2 folds
-    the shortcut norm-apply + residual add into its epilogue and (dropout
-    permitting) emits the block output's stats for the next consumer."""
+    (resunet_model.py:103-143)."""
 
     filters: int
     strides: int = 1
@@ -699,12 +457,9 @@ class ResUNetResidualBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, stats_in=None,
-                 emit_stats: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False):
         # block1's conv feeds block2's InstanceNorm and shortcut feeds
         # shortcut_norm directly: biases there are dead (IN-cancelled).
-        # Chain wiring needs the FULL mode (see Stem).
-        fuse = self.layout == "NXCYZ" and x.ndim == 5 and fused_chain_enabled()
         do = make_dropout(self.dropout_type, self.dropout, n_spatial=x.ndim - 2,
                           layout=self.layout)
         block1 = PreActConvBlock(
@@ -719,57 +474,13 @@ class ResUNetResidualBlock(nn.Module):
             layout=self.layout, dtype=self.dtype, name="shortcut",
         )
         shortcut_norm = NormAct(act=False, layout=self.layout, dtype=self.dtype,
-                                name="shortcut_norm", defer=fuse)
-        if fuse:
-            # emitted out-stats describe the PRE-dropout tensor; with live
-            # dropout the chain must not propagate them
-            emit_out = emit_stats and (do is None or not train)
-            from vangan_tpu.ops.pallas.fused_preact import (
-                dual_entry,
-                dual_entry_supported,
-            )
-
-            stride3 = _norm_stride(self.strides, 3)
-            use_dual = (
-                os.environ.get("VANGAN_FUSE_DUAL", "1") != "0"
-                # same lane floor as ConvND.min_pallas_z: below it the convs
-                # route XLA anyway and the dual kernel would strand them
-                and x.shape[-1] >= 32
-                and dual_entry_supported(
-                    x.shape, stride3, self.filters, self.filters,
-                    jnp.dtype(self.dtype or x.dtype).itemsize, pro=True,
-                )
-            )
-            if use_dual:
-                # block1's pro'd 3^3 conv + the 1^3 shortcut in ONE launch
-                # from ONE slab read (both read x; fused_preact.dual_entry)
-                g1, b1, k1, _ = block1(x, export_params=True)
-                ks, _ = shortcut_conv(x, export_params=True)
-                r1, m1, v1, sc, m_s, v_s = dual_entry(
-                    x.astype(k1.dtype), stats_in, g1, b1, k1, ks, stride3,
-                )
-            else:
-                r1, m1, v1 = block1(x, stats_in=stats_in, emit_stats=True)
-                sc, m_s, v_s = shortcut_conv(x, emit_stats=True)
-            _, gamma_s, beta_s = shortcut_norm(sc)
-            r = block2(
-                r1, stats_in=(m1, v1), emit_stats=emit_out,
-                epi=(sc, m_s, v_s, gamma_s, beta_s),
-            )
-            out = r[0] if emit_out else r
-            if do is not None:
-                out = do(out, deterministic=not train)
-            if emit_stats:
-                return (out, r[1], r[2]) if emit_out else (out, *_jnp_stats(out))
-            return out
+                                name="shortcut_norm")
         res = block1(x)
         res = block2(res)
         shortcut = shortcut_norm(shortcut_conv(x))
         out = shortcut + res
         if do is not None:
             out = do(out, deterministic=not train)
-        if emit_stats:
-            return out, *_jnp_stats(out)
         return out
 
 
@@ -855,18 +566,9 @@ class DiscDownsample(nn.Module):
             x = nn.SpectralNorm(conv)(x, update_stats=train)
             x = nn.leaky_relu(x, self.leaky_slope)
         else:
-            # discriminator chain (VANGAN_FUSE_PREACT): the conv emits its
-            # output's InstanceNorm stats from the kernel epilogue; the norm
-            # consumes them — no standalone stats launch. The apply itself
-            # cannot fold into the NEXT conv's prologue here: dropout +
-            # scheduled layer noise sit between (building_blocks.py:126-196),
-            # unlike the generator chain.
-            x = conv_then_inorm(
-                conv,
-                InstanceNorm(act="leaky_relu", leaky_slope=self.leaky_slope,
-                             layout=self.layout, dtype=self.dtype, name="inorm"),
-                x,
-            )
+            x = InstanceNorm(act="leaky_relu", leaky_slope=self.leaky_slope,
+                             layout=self.layout, dtype=self.dtype,
+                             name="inorm")(conv(x))
         if self.use_dropout:
             x = spatial_dropout(
                 self.dropout_rate, n_spatial=x.ndim - 2, name="dropout", layout=self.layout
@@ -874,26 +576,10 @@ class DiscDownsample(nn.Module):
         return x
 
 
-def conv_then_inorm(conv: "ConvND", inorm: "InstanceNorm", x: jnp.ndarray):
-    """conv -> InstanceNorm with the standalone stats launch deleted when the
-    chain fusion is on (VANGAN_FUSE_PREACT, NXCYZ): the conv emits its
-    output's (mean, var) from the kernel epilogue and the norm consumes them
-    (instnorm.apply_with_stats). Identical params and math either way."""
-    if conv.layout == "NXCYZ" and x.ndim == 5 and fused_chain_enabled():
-        y, m, v = conv(x, emit_stats=True)
-        return inorm(y, stats=(m, v))
-    return inorm(conv(x))
-
-
 class CycleGANResidualBlock(nn.Module):
     """Post-activation residual block of the ResNet generator
     (building_blocks.py:68-123): two reflect-padded 3x3x3 convs with
-    InstanceNorm (he_normal gamma), identity skip.
-
-    Chain fusion (VANGAN_FUSE_PREACT, NXCYZ): 3 Pallas launches instead of
-    6 — conv1 emits inorm1's stats, inorm1's affine+relu folds into conv2's
-    slab prologue, conv2 emits inorm2's stats, and inorm2 applies
-    stats-externally (the identity add blocks folding it further)."""
+    InstanceNorm (he_normal gamma), identity skip."""
 
     dim: int
     layout: str = "NXYZC"
@@ -903,33 +589,14 @@ class CycleGANResidualBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inp = x
         gamma = he_normal_1d
-        on_l = self.layout == "NXCYZ" and x.ndim == 5
-        chain = on_l and fused_chain_enabled()
-        pro_only = on_l and not chain and fused_preact_enabled()
         conv1 = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
                        use_bias=False, layout=self.layout, dtype=self.dtype, name="conv1")
         inorm1 = InstanceNorm(gamma_init=gamma, act="relu", layout=self.layout,
-                              dtype=self.dtype, name="inorm1",
-                              defer=chain or pro_only)
+                              dtype=self.dtype, name="inorm1")
         conv2 = ConvND(self.dim, 3, 1, padding=uniform_pads(1, x), pad_mode="reflect",
                        use_bias=False, layout=self.layout, dtype=self.dtype, name="conv2")
         inorm2 = InstanceNorm(gamma_init=gamma, layout=self.layout, dtype=self.dtype,
                               name="inorm2")
-        if chain:
-            y1, m1, v1 = conv1(x, emit_stats=True)
-            _, g1, b1 = inorm1(y1)
-            y2, m2, v2 = conv2(
-                y1, norm_prologue=(g1, b1, "relu", 0.2, 1e-3),
-                stats=(m1, v1), emit_stats=True,
-            )
-            return inp + inorm2(y2, stats=(m2, v2))
-        if pro_only:
-            # 'pro' degradation: inorm1 still folds into conv2's prologue
-            # (monolithic preact_conv, internal stats); no emitted stats
-            y1 = conv1(x)
-            _, g1, b1 = inorm1(y1)
-            y2 = conv2(y1, norm_prologue=(g1, b1, "relu", 0.2, 1e-3))
-            return inp + inorm2(y2)
         x = inorm1(conv1(x))
         x = inorm2(conv2(x))
         return inp + x

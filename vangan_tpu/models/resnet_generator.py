@@ -25,7 +25,6 @@ from vangan_tpu.models.layers import (
     CycleGANResidualBlock,
     Dtype,
     InstanceNorm,
-    conv_then_inorm,
     he_normal_1d,
     spatial_dropout,
     to_nxcyz,
@@ -55,15 +54,10 @@ class ResNetGenerator3D(nn.Module):
             x = to_nxcyz(x)  # metadata-only for C == 1
 
         # Stem: 7^3 conv + IN(he_normal gamma) + relu + spatial dropout.
-        # conv_then_inorm chains the conv's emitted stats into the norm when
-        # VANGAN_FUSE_PREACT is on (no standalone stats launch).
-        x = conv_then_inorm(
-            ConvND(filters, 7, 1, padding=((3, 3),) * (x.ndim - 2), pad_mode="reflect",
-                   use_bias=False, layout=lt, dtype=self.dtype, name="stem_conv"),
-            InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
-                         dtype=self.dtype, name="stem_inorm"),
-            x,
-        )
+        x = ConvND(filters, 7, 1, padding=((3, 3),) * (x.ndim - 2), pad_mode="reflect",
+                   use_bias=False, layout=lt, dtype=self.dtype, name="stem_conv")(x)
+        x = InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
+                         dtype=self.dtype, name="stem_inorm")(x)
         x = spatial_dropout(self.stem_dropout, n_spatial=x.ndim - 2,
                             name="stem_dropout", layout=lt)(
             x, deterministic=not train
@@ -73,13 +67,11 @@ class ResNetGenerator3D(nn.Module):
         # reflect-pad, IN, relu, spatial dropout 0.2)
         for i in range(self.num_downsampling_blocks):
             filters *= 2
-            x = conv_then_inorm(
-                ConvND(filters, 3, 2, padding=((1, 1),) * (x.ndim - 2), pad_mode="reflect",
-                       use_bias=False, layout=lt, dtype=self.dtype, name=f"down{i}"),
-                InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
-                             dtype=self.dtype, name=f"down_inorm{i}"),
-                x,
-            )
+            x = ConvND(filters, 3, 2, padding=((1, 1),) * (x.ndim - 2),
+                       pad_mode="reflect", use_bias=False, layout=lt,
+                       dtype=self.dtype, name=f"down{i}")(x)
+            x = InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
+                             dtype=self.dtype, name=f"down_inorm{i}")(x)
             x = spatial_dropout(self.downsample_dropout, n_spatial=x.ndim - 2,
                                 name=f"down_dropout{i}", layout=lt)(
                 x, deterministic=not train
@@ -93,13 +85,10 @@ class ResNetGenerator3D(nn.Module):
         for i in range(self.num_upsample_blocks):
             filters //= 2
             x = upsample_nearest(x, 2, layout=lt)
-            x = conv_then_inorm(
-                ConvND(filters, 4, 1, padding="same", use_bias=False, layout=lt,
-                       dtype=self.dtype, name=f"up{i}"),
-                InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
-                             dtype=self.dtype, name=f"up_inorm{i}"),
-                x,
-            )
+            x = ConvND(filters, 4, 1, padding="same", use_bias=False, layout=lt,
+                       dtype=self.dtype, name=f"up{i}")(x)
+            x = InstanceNorm(gamma_init=he_normal_1d, act="relu", layout=lt,
+                             dtype=self.dtype, name=f"up_inorm{i}")(x)
 
         # Head: 7^3 conv + tanh
         x = ConvND(1, 7, 1, padding=((3, 3),) * (x.ndim - 2), pad_mode="reflect", use_bias=True,

@@ -64,57 +64,28 @@ class ResUNet3D(nn.Module):
             # (B, X, Y, Z, 1) -> (B, X, 1, Y, Z): metadata-only for C == 1
             x = to_nxcyz(x)
 
-        # Stats chain (VANGAN_FUSE_PREACT, NXCYZ): every block consumes the
-        # InstanceNorm statistics its producer emitted and emits its own —
-        # zero standalone stats launches along the spine. Nearest-neighbour
-        # 2x upsampling replicates each voxel 8x, so per-channel (mean, var)
-        # are EXACTLY preserved through 'simple' decoder upsampling, and
-        # per-(B, C) stats concatenate along C through the skip concat;
-        # 'deconv'/attention break the chain at that point (stats=None ->
-        # the consumer computes its own).
-        from vangan_tpu.models.layers import fused_chain_enabled
-
-        chain = lt == "NXCYZ" and fused_chain_enabled()
-
-        def _split(r, want):
-            return (r[0], (r[1], r[2])) if want else (r, None)
-
-        x, st = _split(
-            Stem(f[0], layout=lt, dtype=self.dtype, name="stem")(
-                x, emit_stats=chain),
-            chain,
-        )
-        skips = [(x, st)]
+        x = Stem(f[0], layout=lt, dtype=self.dtype, name="stem")(x)
+        skips = [x]
 
         # Encoder (resunet_model.py:230-233)
         for e in range(1, self.num_layers + 1):
-            x, st = _split(
-                ResUNetResidualBlock(
-                    f[e],
-                    strides=2,
-                    dropout_type=self.dropout_type,
-                    dropout=self.dropout + (e - 1) * self.dropout_change_per_layer,
-                    layout=lt,
-                    dtype=self.dtype,
-                    name=f"enc{e}",
-                )(x, train=train, stats_in=st, emit_stats=chain),
-                chain,
-            )
-            skips.append((x, st))
+            x = ResUNetResidualBlock(
+                f[e],
+                strides=2,
+                dropout_type=self.dropout_type,
+                dropout=self.dropout + (e - 1) * self.dropout_change_per_layer,
+                layout=lt,
+                dtype=self.dtype,
+                name=f"enc{e}",
+            )(x, train=train)
+            skips.append(x)
 
         # Bridge (resunet_model.py:236-238)
         # bridge1's conv feeds bridge2's InstanceNorm directly — its bias is
         # exactly IN-cancelled (dead param; see PreActConvBlock docstring)
-        x, st = _split(
-            PreActConvBlock(f[-1], use_bias=False, layout=lt, dtype=self.dtype,
-                            name="bridge1")(x, stats_in=st, emit_stats=chain),
-            chain,
-        )
-        x, st = _split(
-            PreActConvBlock(f[-1], layout=lt, dtype=self.dtype, name="bridge2")(
-                x, stats_in=st, emit_stats=chain),
-            chain,
-        )
+        x = PreActConvBlock(f[-1], use_bias=False, layout=lt, dtype=self.dtype,
+                            name="bridge1")(x)
+        x = PreActConvBlock(f[-1], layout=lt, dtype=self.dtype, name="bridge2")(x)
 
         # Decoder (resunet_model.py:240-243)
         for d in reversed(range(self.num_layers)):
@@ -133,26 +104,15 @@ class ResUNet3D(nn.Module):
                     name=f"deconv{d}",
                 )(xl)
                 x = to_nxcyz(xl) if lt == "NXCYZ" else xl
-                st = None  # transposed conv changes the statistics
             else:
-                x = upsample_nearest(x, 2, layout=lt)  # stats preserved
-            skip_x, skip_st = skips[d]
+                x = upsample_nearest(x, 2, layout=lt)
+            skip_x = skips[d]
             if self.use_attention_gate:
                 x = AttentionConcat(layout=lt, dtype=self.dtype, name=f"attn{d}")(x, skip_x)
-                st = None  # gating changes the statistics
             else:
                 x = jnp.concatenate([x, skip_x], axis=channel_axis(lt))
-                st = (
-                    (jnp.concatenate([st[0], skip_st[0]], axis=1),
-                     jnp.concatenate([st[1], skip_st[1]], axis=1))
-                    if st is not None and skip_st is not None
-                    else None
-                )
-            x, st = _split(
-                ResUNetResidualBlock(f[d], layout=lt, dtype=self.dtype, name=f"dec{d}")(
-                    x, train=train, stats_in=st, emit_stats=chain and d > 0),
-                chain and d > 0,
-            )
+            x = ResUNetResidualBlock(f[d], layout=lt, dtype=self.dtype, name=f"dec{d}")(
+                x, train=train)
 
         # Head (resunet_model.py:245)
         x = ConvND(1, 1, 1, padding="same", use_bias=True, layout=lt, dtype=self.dtype,

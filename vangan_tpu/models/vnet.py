@@ -55,35 +55,21 @@ class VNetConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from vangan_tpu.models.layers import fused_chain_enabled
-
         for i in range(2):
             conv = ConvND(
                 self.filters, 3, 1, padding=((1, 1),) * (x.ndim - 2), pad_mode="reflect",
                 use_bias=not self.use_batch_norm, layout=self.layout, dtype=self.dtype,
                 name=f"conv{i}",
             )
-            fuse = (not self.use_batch_norm and self.layout == "NXCYZ"
-                    and x.ndim == 5 and fused_chain_enabled())
-            if fuse:
-                # act-then-norm chain (VANGAN_FUSE_PREACT): the relu runs in
-                # the conv's store epilogue and the activated output's IN
-                # stats are emitted from the kernel — the norm consumes them
-                # (no standalone relu pass, no stats launch). BatchNorm keeps
-                # the plain path (cross-batch running stats, different op).
-                y, m, v = conv(x, act_epi=("relu", 0.2), emit_stats=True)
-                x = InstanceNorm(layout=self.layout, dtype=self.dtype,
-                                 name=f"in{i}")(y, stats=(m, v))
+            x = conv(x)
+            x = nn.relu(x)  # activation precedes the norm (vnet_model.py:119-130)
+            if self.use_batch_norm:
+                x = nn.BatchNorm(
+                    use_running_average=not train, axis=channel_axis(self.layout),
+                    dtype=self.dtype, param_dtype=jnp.float32, name=f"bn{i}",
+                )(x)
             else:
-                x = conv(x)
-                x = nn.relu(x)  # activation precedes the norm (vnet_model.py:119-130)
-                if self.use_batch_norm:
-                    x = nn.BatchNorm(
-                        use_running_average=not train, axis=channel_axis(self.layout),
-                        dtype=self.dtype, param_dtype=jnp.float32, name=f"bn{i}",
-                    )(x)
-                else:
-                    x = InstanceNorm(layout=self.layout, dtype=self.dtype, name=f"in{i}")(x)
+                x = InstanceNorm(layout=self.layout, dtype=self.dtype, name=f"in{i}")(x)
             if i == 0 and self.dropout > 0.0:
                 do = make_dropout(self.dropout_type, self.dropout, n_spatial=x.ndim - 2,
                                   layout=self.layout)

@@ -684,7 +684,11 @@ def _fwd_kernel(
         lax.fori_loop(0, xb, body, 0)
 
 
-_VMEM_BUDGET = 11 * 1024 * 1024  # stack + slab + weights budget (16M VMEM)
+# Stack + slab + weights budget against the TPU's *scoped* vmem limit
+# (default 16 MB; see docs/PERF.md "scoped-vmem is module-shared"). Tunable
+# for A/B with a raised --xla_tpu_scoped_vmem_limit_kib: the budget must stay
+# ~2/3 of the XLA limit to leave room for XLA's own S(1) promotions.
+_VMEM_BUDGET = int(os.environ.get("VANGAN_CONV_VMEM_KIB", str(11 * 1024))) * 1024
 
 
 def _per_xo_bytes(yb, k, ci, co, zp, itemsize) -> int:

@@ -235,34 +235,6 @@ def _bwd_reduce_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref,
     sxg_ref[0] += _reduce_c1(xhat * gp)
 
 
-def _bwd_ext_fused_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref,
-                          dx_ref, sgp_ref, sxg_ref, *, act: str, alpha: float):
-    """Stats-EXTERNAL backward in ONE pass: dx = a*g' needs no centering
-    constants (they route to dmean/dvar analytically), so the reduce and dx
-    kernels' shared body (gp, xhat) merges — one launch and one HBM read of
-    (x, g) instead of two each. Sequential grid (the sum accumulation)."""
-    i = _linear_step()
-
-    @pl.when(i == 0)
-    def _init():
-        sgp_ref[...] = jnp.zeros_like(sgp_ref)
-        sxg_ref[...] = jnp.zeros_like(sxg_ref)
-
-    x = x_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    sh = x.shape[1:]
-    a = _bcast_c(a_ref[0], sh)
-    b = _bcast_c(b_ref[0], sh)
-    mean = _bcast_c(mean_ref[0], sh)
-    inv = _bcast_c(inv_ref[0], sh)
-    pre = x * a + b
-    gp = g * _act_grad(pre, act, alpha)
-    xhat = (x - mean) * inv
-    dx_ref[0] = (a * gp).astype(dx_ref.dtype)
-    sgp_ref[0] += _reduce_c1(gp)
-    sxg_ref[0] += _reduce_c1(xhat * gp)
-
-
 def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, inv_ref, c1_ref, c2_ref,
                    dx_ref, *, act: str, alpha: float):
     # Elementwise math in f32: a bf16 body rounds the broadcast c1/c2
@@ -406,8 +378,7 @@ def _vjp_fwd(x, gamma, beta, eps, act, alpha):
 
 def bwd_reduce_sums(x, g, a, b, mean, inv, act: str, alpha: float):
     """Per-(B, C) sum(g') and sum(xhat*g') with g' = g*act'(x*a+b) — the two
-    reductions every IN backward variant needs (internal-stats _vjp_bwd and
-    the stats-external backward in ops/pallas/fused_preact.py).
+    reductions the IN backward needs (_vjp_bwd).
 
     256 KB blocks: the f32 bodies hold ~6 full-block f32 temporaries plus
     2-slot pipelines of 2-3 block operands — a 512 KB block measured
@@ -421,24 +392,6 @@ def bwd_reduce_sums(x, g, a, b, mean, inv, act: str, alpha: float):
         budget=256 * 1024,
     )
     return sgp[..., 0], sxg[..., 0]  # (B, C) each
-
-
-def bwd_ext_fused(x, g, a, b, mean, inv, act: str, alpha: float):
-    """One-launch stats-external backward: (dx, sum_gp, sum_xg) with
-    dx = a*g' (zero centering — the external variant's dmean/dvar terms are
-    analytic in the sums). Replaces a bwd_reduce_sums + bwd_dx pair for
-    every pro'd conv and apply_with_stats backward: one HBM read of (x, g)
-    instead of two (see _bwd_ext_fused_kernel)."""
-    bsz, _, c, _, _ = x.shape
-    dx, sgp, sxg = _grid_call(
-        functools.partial(_bwd_ext_fused_kernel, act=act, alpha=alpha),
-        x, [g, a, b, mean, inv],
-        [jax.ShapeDtypeStruct(x.shape, x.dtype),
-         jax.ShapeDtypeStruct((bsz, c, 1), jnp.float32),
-         jax.ShapeDtypeStruct((bsz, c, 1), jnp.float32)],
-        budget=256 * 1024,
-    )
-    return dx, sgp[..., 0], sxg[..., 0]
 
 
 def bwd_dx(x, g, a, b, mean, inv, c1, c2, act: str, alpha: float):
@@ -468,91 +421,3 @@ def _vjp_bwd(eps, act, alpha, residuals, g):
 instance_norm_act.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-# ---------------------------------------------------------------------------
-# Stats-EXTERNAL InstanceNorm apply (round 3, discriminator chain): the conv
-# that produced ``x`` already emitted its per-(B, C) statistics from the
-# kernel epilogue (conv3d.py ``emit_stats``), so the apply consumes them
-# instead of re-reading the whole tensor through a standalone stats launch —
-# one full HBM pass (plus its ~ms Pallas fixed cost) deleted per
-# InstanceNorm. Unlike the generator's pre-act chain (fused_preact.py,
-# where the apply folds into the NEXT conv's prologue), the PatchGAN
-# discriminator interposes spatial dropout + scheduled layer noise between
-# the norm and the next conv (building_blocks.py:126-196), so the apply
-# itself must stay a standalone op there — this is the piece that still
-# fuses. Backward reuses the proven reduce/dx kernels with ZERO centering
-# constants; the centering terms route to (dmean, dvar) analytically:
-#
-#   dx     = a * g'                 (g' = g * act'(x*a + b))
-#   dgamma = sum_b sum_xg           dbeta = sum_b sum_gp
-#   dmean  = -a * sum_gp            dvar  = -(a * inv / 2) * sum_xg
-# ---------------------------------------------------------------------------
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def apply_with_stats(
-    x: jnp.ndarray,
-    mean: jnp.ndarray,
-    var: jnp.ndarray,
-    gamma: jnp.ndarray,
-    beta: jnp.ndarray,
-    eps: float = 1e-3,
-    act: str = "none",
-    alpha: float = 0.2,
-) -> jnp.ndarray:
-    """act((x - mean) * rsqrt(var + eps) * gamma + beta) on (B, X, C, Y, Z).
-
-    ``mean``/``var``: (B, C) f32, by contract the exact InstanceNorm
-    statistics of ``x`` (a producing conv's ``emit_stats`` epilogue or
-    ``_stats``). gamma/beta: (C,) f32. Gradients flow to all five inputs —
-    the stats cotangents feed the producer's emitted-stats vjp fold
-    (fused_preact.py) so the composition is exactly the internal-stats
-    backward."""
-    return _apply_ext_impl(x, mean, var, gamma, beta, eps, act, alpha)[0]
-
-
-def _apply_ext_impl(x, mean, var, gamma, beta, eps, act, alpha):
-    inv = lax.rsqrt(var + eps)  # (B, C) f32
-    a = inv * gamma[None, :]
-    b = beta[None, :] - mean * a
-    if instance_norm_act_supported(x.shape, "NXCYZ"):
-        y = _grid_call(
-            functools.partial(_apply_kernel, act=act, alpha=alpha),
-            x, [a, b], [jax.ShapeDtypeStruct(x.shape, x.dtype)],
-            parallel=True,  # pure map: no cross-step state
-        )
-    else:
-        # jnp fallback (identical arithmetic: f32 constants, compute-dtype
-        # elementwise) for shapes the block planner cannot tile
-        av = a[:, None, :, None, None].astype(x.dtype)
-        bv = b[:, None, :, None, None].astype(x.dtype)
-        y = _act_fwd(x * av + bv, act, alpha).astype(x.dtype)
-    return y, (mean, inv, a, b)
-
-
-def _apply_ext_fwd(x, mean, var, gamma, beta, eps, act, alpha):
-    y, scal = _apply_ext_impl(x, mean, var, gamma, beta, eps, act, alpha)
-    return y, (x, scal)
-
-
-def _apply_ext_bwd(eps, act, alpha, residuals, g):
-    x, (mean, inv, a, b) = residuals
-    if instance_norm_act_supported(x.shape, "NXCYZ"):
-        dx, sum_gp, sum_xg = bwd_ext_fused(x, g, a, b, mean, inv, act, alpha)
-    else:
-        xf = x.astype(jnp.float32)
-        gf = g.astype(jnp.float32)
-        bc = lambda v: v[:, None, :, None, None]
-        pre = xf * bc(a) + bc(b)
-        gp = gf * _act_grad(pre, act, alpha)
-        xhat = (xf - bc(mean)) * bc(inv)
-        sum_gp = jnp.sum(gp, axis=(1, 3, 4))
-        sum_xg = jnp.sum(xhat * gp, axis=(1, 3, 4))
-        dx = (bc(a) * gp).astype(x.dtype)
-    dgamma = jnp.sum(sum_xg, axis=0)
-    dbeta = jnp.sum(sum_gp, axis=0)
-    dmean = -a * sum_gp
-    dvar = -(a * inv * 0.5) * sum_xg
-    return dx, dmean, dvar, dgamma, dbeta
-
-
-apply_with_stats.defvjp(_apply_ext_fwd, _apply_ext_bwd)
