@@ -98,12 +98,21 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.preset == "results":
+        # explicitly-passed --epochs/--seed win over the preset pins so the
+        # RESULTS.md table can carry longer-schedule and second-seed rows
+        explicit = set()
+        for tok in sys.argv[1:]:
+            if tok.startswith("--"):
+                explicit.add(tok[2:].split("=")[0].replace("-", "_"))
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        args.epochs, args.patch, args.volumes = 20, 128, 16
+        if "epochs" not in explicit:
+            args.epochs = 20
+        args.patch, args.volumes = 128, 16
         args.vol_shape, args.tubes = (256, 256, 128), 12
         args.filters, args.disc_filters = 16, 64
         args.steps_per_epoch, args.cldice_iters = 150, 15
-        args.seed = 0
+        if "seed" not in explicit:
+            args.seed = 0
         if args.results_md is None:
             args.results_md = os.path.join(repo, "RESULTS.md")
 
@@ -225,7 +234,7 @@ def main() -> None:
             f.write(
                 f"| {datetime.date.today()} | vol={tuple(args.vol_shape)} x{args.volumes} "
                 f"| patch={args.patch} f={args.filters} | epochs={args.epochs} "
-                f"steps/ep={args.steps_per_epoch or 'auto'} "
+                f"steps/ep={args.steps_per_epoch or 'auto'} seed={args.seed} "
                 f"| {mean_d:.3f} | {mean_c:.3f} |\n"
             )
 

@@ -241,72 +241,6 @@ def _db_enabled() -> bool:
     return os.environ.get("VANGAN_CONV_DB", "1") != "0"
 
 
-def _pro_bcast(a_ref, b_ref, shape3, dtype):
-    """Build the per-channel affine broadcast pair for the fused pre-act
-    prologue (ops/pallas/fused_preact.py): (1, Ci, 1) refs -> two (Ci, ys, Zp)
-    tensors in the slab dtype. Reuses the instnorm kernels' proven lowering
-    pattern (lane expansion via an MXU outer product, sublane via a
-    single-axis broadcast — multi-axis vector.broadcast does not lower on
-    this toolchain)."""
-    from vangan_tpu.ops.pallas.instnorm import _bcast_c
-
-    return (
-        _bcast_c(a_ref[0], shape3, dtype),
-        _bcast_c(b_ref[0], shape3, dtype),
-    )
-
-
-def _pro_row(row: jnp.ndarray, pro_bc, act: str, alpha: float) -> jnp.ndarray:
-    """act(row * a + b) in the compute dtype — the InstanceNorm apply epilogue
-    folded into the conv's slab read (identical arithmetic/rounding to
-    instnorm._apply_kernel, so fused == unfused bit-for-bit per element)."""
-    from vangan_tpu.ops.pallas.instnorm import _act_fwd
-
-    a_bc, b_bc = pro_bc
-    return _act_fwd(row * a_bc + b_bc, act, alpha).astype(row.dtype)
-
-
-def _stats_row_update(oq, mean_ref, m2_ref, xo: int, xb: int, n_row: int):
-    """Merge one output row's (mean, M2) into the per-(b, co) Welford
-    accumulators (Chan's parallel merge — the instnorm _stats_kernel pattern,
-    per output row instead of per block). ``oq`` is the (co, yb, zo) value
-    ABOUT to be stored (post compute-dtype rounding, so the emitted stats
-    describe exactly the tensor the consumer reads). The row counter spans
-    this b's whole (i, j, xo) walk; grid dims are sequential ("arbitrary"),
-    which the revisiting accumulation requires.
-
-    Emitted-stats use (ops/pallas/fused_preact.py): the conv that PRODUCES a
-    pre-act block's input also computes the InstanceNorm statistics its
-    consumer needs, deleting the standalone stats launch (one full HBM read
-    of the tensor, plus its ~ms Pallas fixed cost — docs/PERF.md round 3:
-    launch overhead, not bandwidth, dominates at 128^3 x 16ch)."""
-    from vangan_tpu.ops.pallas.instnorm import _bcast_c
-
-    co, yb, zo = oq.shape
-    of = oq.astype(jnp.float32)
-    s1 = jnp.sum(of, axis=1)                              # (co, zo)
-    rm = jnp.sum(s1, axis=1, keepdims=True) / n_row       # (co, 1)
-    xc = of - _bcast_c(rm, (co, yb, zo))
-    m2r_z = jnp.sum(lax.square(xc), axis=1)               # (co, zo)
-    m2r = jnp.sum(m2r_z, axis=1, keepdims=True)           # (co, 1)
-
-    i, j = pl.program_id(1), pl.program_id(2)
-    r_idx = (i * pl.num_programs(2) + j) * xb + xo        # rows done before us
-
-    @pl.when(r_idx == 0)
-    def _init():
-        mean_ref[0] = rm
-        m2_ref[0] = m2r
-
-    @pl.when(r_idx > 0)
-    def _merge():
-        n_a = (r_idx * n_row).astype(jnp.float32)
-        n_b = jnp.float32(n_row)
-        delta = rm - mean_ref[0]
-        mean_ref[0] += delta * (n_b / (n_a + n_b))
-        m2_ref[0] += m2r + lax.square(delta) * (n_a * n_b / (n_a + n_b))
-
-
 def _linear_step():
     """(t, total, next b/i/j) for the sequential 3-D grid — the manual
     double-buffer pipeline needs the lexicographic successor's indices."""
@@ -355,7 +289,7 @@ def _slab_pipeline(x_vmem, sem, make_copies, db: bool):
     return slot
 
 
-def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin, pro=None):
+def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin):
     """Stack the kx*ky (dx, dy) tap slices for output row ``xo`` into the
     (kx*ky*Ci, yb*Zp) patch matrix ('tap' formulation; the xo loop is
     unrolled with the block size planned against the VMEM stack, _plan_xb).
@@ -363,21 +297,12 @@ def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin, pro=None):
     y-stride-2 taps parity-split the sublane dim via reshape (direct strided
     loads only lower for 32-bit data on this toolchain; reshape+index works
     for bf16 too).
-
-    ``pro`` = (pro_bc, act, alpha): apply the fused InstanceNorm affine+act
-    prologue to each slab row at read time (per-xo temporaries, budgeted by
-    the ``pro`` arm of _stack_bytes). Rows are transformed kx times per xo —
-    redundant VPU work, but per-xo SSA temporaries instead of a whole-slab
-    in-place rewrite whose row temps Mosaic would stack across the unrolled
-    loop.
     """
     kx, ky, _ = k
     sx, sy, _ = stride
     taps = []
     for dx in range(kx):
         row = x_vmem[slot, sx * xo + dx]  # (Ci, ys, Zp)
-        if pro is not None:
-            row = _pro_row(row, pro[0], pro[1], pro[2])
         if sy == 1:
             for dy in range(ky):
                 taps.append(row[:, dy : dy + yb])
@@ -388,24 +313,6 @@ def _tap_matrix(x_vmem, slot, xo, *, xb, yb, k, stride, ci, zin, pro=None):
         else:  # pragma: no cover
             raise NotImplementedError(f"y stride {sy}")
     return jnp.stack(taps, axis=0).reshape(kx * ky * ci, yb * zin)
-
-
-def _shortcut_row(x_vmem, slot, xo, *, yb, stride, ci, zin, offx, offy):
-    """The RAW (un-transformed) 1^3-tap patch matrix for the dual block-entry
-    kernel: output row ``xo``'s shortcut input — slab row sx*xo + offx, y
-    positions offy + sy*j — as (Ci, yb*Zp). ``offx/offy`` are the main conv's
-    x/y pad widths (the slab holds the PADDED tensor; the shortcut conv reads
-    the unpadded one). Same strided-y parity trick as _tap_matrix."""
-    sx, sy, _ = stride
-    row = x_vmem[slot, sx * xo + offx]  # (Ci, ys, Zp)
-    if sy == 1:
-        t = row[:, offy : offy + yb]
-    elif sy == 2:
-        rp = row.reshape(ci, row.shape[1] // 2, 2, zin)
-        t = rp[:, offy // 2 : offy // 2 + yb, offy % 2]
-    else:  # pragma: no cover
-        raise NotImplementedError(f"y stride {sy}")
-    return t.reshape(ci, yb * zin)
 
 
 def _fwd_kernel_b(
@@ -423,10 +330,6 @@ def _fwd_kernel_b(
     has_bias: bool,
     ys: int,
     db: bool,
-    pro: Optional[Tuple[str, float]] = None,
-    epi: bool = False,
-    stats: bool = False,
-    oact: Optional[Tuple[str, float]] = None,
 ):
     """Tap-stack-free forward ("B formulation", stride-y == 1 only).
 
@@ -443,14 +346,7 @@ def _fwd_kernel_b(
     x_hbm, w_ref = next(it), next(it)
     s_ref = next(it) if rest else None
     b_ref = next(it) if has_bias else None
-    pa_ref = next(it) if pro is not None else None
-    pb_ref = next(it) if pro is not None else None
-    sh_ref = next(it) if epi else None
-    ea_ref = next(it) if epi else None
-    eb_ref = next(it) if epi else None
     out_ref = next(it)
-    mean_ref = next(it) if stats else None
-    m2_ref = next(it) if stats else None
     x_vmem, bmat, sem = next(it), next(it), next(it)
     kx, ky, kz = k
     sx, _, _ = stride
@@ -470,23 +366,11 @@ def _fwd_kernel_b(
 
     slot = _slab_pipeline(x_vmem, sem, mk, db)
 
-    if pro is not None:
-        # merged-lane (Ci, ys*Zp) affine constants: lane expansion via an MXU
-        # outer product (dots always lower; see _pro_bcast for the 3-D form)
-        from vangan_tpu.ops.pallas.instnorm import _act_fwd
-
-        ones_row = jnp.ones((1, span), jnp.float32)
-        pro_a = jnp.dot(pa_ref[0].astype(jnp.float32), ones_row).astype(x_vmem.dtype)
-        pro_b = jnp.dot(pb_ref[0].astype(jnp.float32), ones_row).astype(x_vmem.dtype)
-
-    epi_bc = _pro_bcast(ea_ref, eb_ref, (co, yb, zo), None) if epi else None
     kzco = kz * co
     for xo in range(xb):
         acc = None
         for dx in range(kx):
             row2 = x_vmem[slot, sx * xo + dx]  # (Ci, ys*Zp)
-            if pro is not None:
-                row2 = _act_fwd(row2 * pro_a + pro_b, pro[0], pro[1]).astype(row2.dtype)
             wdx = w_ref[dx]
             prec = _dot_precision(row2.dtype)
             if ci < 8 and row2.dtype != jnp.float32:
@@ -515,20 +399,7 @@ def _fwd_kernel_b(
         o3 = out.reshape(co, yb, zo)
         if has_bias:
             o3 = o3 + b_ref[:].reshape(co, 1, 1)
-        if epi:
-            sblk = sh_ref[0, xo].astype(jnp.float32)
-            o3 = o3 + (sblk * epi_bc[0] + epi_bc[1])
-        if oact is not None:
-            # output-activation epilogue (VNet's act-THEN-norm order,
-            # vnet_model.py:119-130): the stored tensor — and hence the
-            # emitted stats — is act(conv + bias)
-            from vangan_tpu.ops.pallas.instnorm import _act_fwd
-
-            o3 = _act_fwd(o3, oact[0], oact[1])
-        oq = o3.astype(out_ref.dtype)
-        out_ref[0, xo] = oq
-        if stats:
-            _stats_row_update(oq, mean_ref, m2_ref, xo, xb, yb * zo)
+        out_ref[0, xo] = o3.astype(out_ref.dtype)
 
 
 def _fwd_kernel(
@@ -546,30 +417,12 @@ def _fwd_kernel(
     has_bias: bool,
     unroll: bool,
     db: bool,
-    pro: Optional[Tuple[str, float]] = None,
-    epi: bool = False,
-    stats: bool = False,
-    oact: Optional[Tuple[str, float]] = None,
-    dual: Optional[int] = None,
-    doffs: Tuple[int, int] = (0, 0),
 ):
     it = iter(refs)
     x_hbm, w_ref = next(it), next(it)
     s_ref = next(it) if rest else None
     b_ref = next(it) if has_bias else None
-    pa_ref = next(it) if pro is not None else None
-    pb_ref = next(it) if pro is not None else None
-    sh_ref = next(it) if epi else None
-    ea_ref = next(it) if epi else None
-    eb_ref = next(it) if epi else None
-    ws_ref = next(it) if dual is not None else None
-    ss_ref = next(it) if dual is not None else None
     out_ref = next(it)
-    mean_ref = next(it) if stats else None
-    m2_ref = next(it) if stats else None
-    outs_ref = next(it) if dual is not None else None
-    means_ref = next(it) if dual is not None and stats else None
-    m2s_ref = next(it) if dual is not None and stats else None
     x_vmem, sem = next(it), next(it)
     kx, ky, kz = k
     sx, sy, sz = stride
@@ -590,11 +443,6 @@ def _fwd_kernel(
         ]
 
     slot = _slab_pipeline(x_vmem, sem, mk, db)
-    pro_tap = None
-    if pro is not None:
-        pro_tap = (_pro_bcast(pa_ref, pb_ref, (ci, ys, zin), x_vmem.dtype),
-                   pro[0], pro[1])
-    epi_bc = _pro_bcast(ea_ref, eb_ref, (co, yb, zo), None) if epi else None
     w = w_ref[:]  # (kz, Co, kx*ky*Ci)
     kz_ = k[2]
     # Stacked-taps dot (round 3): one (kz*Co, K) @ (K, yb*Zp) matmul instead
@@ -609,7 +457,7 @@ def _fwd_kernel(
 
     def body(xo, _):
         p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride,
-                        ci=ci, zin=zin, pro=pro_tap)
+                        ci=ci, zin=zin)
 
         out = None
         if stacked:
@@ -639,42 +487,7 @@ def _fwd_kernel(
         o3 = out.reshape(co, yb, zo)
         if has_bias:
             o3 = o3 + b_ref[:].reshape(co, 1, 1)
-        if epi:
-            # fused shortcut: += short*a_s + b_s (the projected-shortcut
-            # InstanceNorm apply + residual add, in f32 before the store)
-            sblk = sh_ref[0, xo].astype(jnp.float32)
-            o3 = o3 + (sblk * epi_bc[0] + epi_bc[1])
-        if oact is not None:
-            # output-activation epilogue (see _fwd_kernel_b)
-            from vangan_tpu.ops.pallas.instnorm import _act_fwd
-
-            o3 = _act_fwd(o3, oact[0], oact[1])
-        oq = o3.astype(out_ref.dtype)
-        out_ref[0, pl.ds(xo, 1)] = oq[None]
-        if stats:
-            _stats_row_update(oq, mean_ref, m2_ref, xo, xb, yb * zo)
-        if dual is not None:
-            # dual block-entry (fused_preact.dual_entry): the projected
-            # 1^3-shortcut conv of the SAME input, from the SAME slab — one
-            # launch and one slab DMA for the residual block's two x-readers.
-            # The shortcut reads RAW rows (no prologue); its z stride/trim
-            # runs through one always-applied select matrix.
-            p_s = _shortcut_row(x_vmem, slot, xo, yb=yb, stride=stride,
-                                ci=ci, zin=zin, offx=doffs[0], offy=doffs[1])
-            ws2 = ws_ref[:]  # (Cos, Ci)
-            prec_s = _dot_precision(p_s.dtype)
-            if ci < 8 and p_s.dtype != jnp.float32:
-                # degenerate-K bf16 dots miscompile (see above)
-                p_s, ws2 = p_s.astype(jnp.float32), ws2.astype(jnp.float32)
-            os_ = jnp.dot(ws2, p_s, preferred_element_type=jnp.float32,
-                          precision=prec_s)
-            os2 = os_.reshape(dual * yb, zin).astype(x_vmem.dtype)
-            oss = jnp.dot(os2, ss_ref[:], preferred_element_type=jnp.float32,
-                          precision=_dot_precision(os2.dtype))
-            osq = oss.reshape(dual, yb, zo).astype(outs_ref.dtype)
-            outs_ref[0, pl.ds(xo, 1)] = osq[None]
-            if stats:
-                _stats_row_update(osq, means_ref, m2s_ref, xo, xb, yb * zo)
+        out_ref[0, pl.ds(xo, 1)] = o3.astype(out_ref.dtype)[None]
         return 0
 
     if unroll:  # fastest; the fori_loop variant reuses VMEM stack instead
@@ -700,51 +513,31 @@ def _per_xo_bytes(yb, k, ci, co, zp, itemsize) -> int:
     return yb * zp * (kx * ky * ci * itemsize + kz * co * 8) + yb * zp * 4 * co
 
 
-def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize, form_b=False,
-                 pro=False, stats=False, epi=False, dual_cos=0) -> int:
+def _stack_bytes(xb, yb, k, stride, ci, co, zp, itemsize, form_b=False) -> int:
     kx, ky, kz = k
     ys = _round_up(stride[1] * (yb - 1) + ky, 8)
     nslots = 2 if _db_enabled() else 1  # double-buffered slab (round 3)
     slab = nslots * (stride[0] * (xb - 1) + kx) * ci * ys * zp * itemsize
     w_bytes = kz * co * kx * ky * ci * itemsize
-    # fused pre-act prologue (fused_preact.py): kx transformed-row temps per
-    # xo plus the two fixed affine broadcast constants
-    pro_bytes = ((xb * kx + 2) * ci * ys * zp * itemsize) if pro else 0
-    # emitted stats: per-xo f32 copy + centred temp + (co, zo) partials
-    stats_bytes = (xb * (2 * co * yb * zp + 3 * co * zp) * 4) if stats else 0
-    # epilogue shortcut add: 2-slot pipelined short block + f32 cast per xo
-    # + the two f32 affine broadcast constants
-    epi_bytes = ((2 * co * yb * zp * itemsize)
-                 + (xb + 2) * co * yb * zp * 4) if epi else 0
-    # dual block-entry: per-xo raw patch row + two f32 shortcut products +
-    # the cast intermediate, plus the shortcut stats accumulator temps
-    dual_bytes = (
-        xb * yb * zp * (ci * itemsize + dual_cos * (8 + itemsize))
-        + (xb * (2 * dual_cos * yb * zp + 3 * dual_cos * zp) * 4 if stats else 0)
-    ) if dual_cos else 0
-    extra = pro_bytes + stats_bytes + epi_bytes + dual_bytes
     if form_b:
         # explicit B scratch + small per-xo accumulate/select temporaries
         fixed = ky * kz * co * ys * zp * 4
         per_xo = yb * zp * co * (kz * 6 + 4)
-        return xb * per_xo + fixed + slab + 2 * w_bytes + extra
-    return xb * _per_xo_bytes(yb, k, ci, co, zp, itemsize) + slab + 2 * w_bytes + extra
+        return xb * per_xo + fixed + slab + 2 * w_bytes
+    return xb * _per_xo_bytes(yb, k, ci, co, zp, itemsize) + slab + 2 * w_bytes
 
 
-def _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b=False,
-             pro=False, stats=False, epi=False, dual_cos=0) -> int:
+def _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b=False) -> int:
     """Largest x block whose unrolled VMEM stack fits (1 as the floor)."""
     for xb in (8, 4, 2):
         if xo_dim % xb == 0 and _stack_bytes(
-            xb, yb, k, stride, ci, co, zp, itemsize, form_b, pro, stats, epi,
-            dual_cos,
+            xb, yb, k, stride, ci, co, zp, itemsize, form_b,
         ) <= _VMEM_BUDGET:
             return xb
     return 1
 
 
-def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False,
-                 pro=False, stats=False, epi=False, dual_cos=0):
+def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False):
     """(xb, yb): bigger y blocks amortise per-block DMA latency (measured 21%
     at yb=16 on the 16ch 128^3 conv; no further gain at 32) unless they starve
     the x block below 4."""
@@ -763,12 +556,10 @@ def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False,
             continue
         if (sy * yb) % 8 or yo_dim % yb:
             continue
-        xb = _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b, pro,
-                      stats, epi, dual_cos)
+        xb = _plan_xb(xo_dim, yb, k, stride, ci, co, zp, itemsize, form_b)
         if yb == 8 or xb >= 4:
             return xb, yb
-    return _plan_xb(xo_dim, 8, k, stride, ci, co, zp, itemsize, form_b, pro,
-                    stats, epi, dual_cos), 8
+    return _plan_xb(xo_dim, 8, k, stride, ci, co, zp, itemsize, form_b), 8
 
 
 def conv3d_cxyz_fits(x_shape, k, stride, itemsize=2, co=None) -> bool:
@@ -792,11 +583,6 @@ def _conv_fwd(
     z_mode: str,
     selects=None,
     out_dims: Optional[Tuple[int, int]] = None,
-    pro=None,
-    epi=None,
-    emit_stats: bool = False,
-    oact=None,
-    dual=None,
 ):
     """Core conv on an x/y-prepadded input.
 
@@ -805,41 +591,6 @@ def _conv_fwd(
     given — dgrad passes transposed stacks). Output x/y dims are the exact
     VALID sizes (or ``out_dims`` when the caller wants over-computed rows
     trimmed later).
-
-    ``pro`` = (a, b, act, alpha) with a/b (B, Ci) f32: the fused pre-act
-    prologue — every slab row is read as ``act(x*a + b)`` (the InstanceNorm
-    affine+activation folded in, ops/pallas/fused_preact.py). The virtual z
-    zero-pad stays correct under ``pro``: out-of-range z taps contribute zero
-    via the select matrices, which is zero-padding of the TRANSFORMED tensor
-    (the fused semantics). x/y host padding must be reflect (or absent) —
-    enforced by the caller — since zero x/y pads would transform to act(b).
-
-    ``epi`` = (short, a_s, b_s) with short (B, Xo, Co, Yo, Zo) and a_s/b_s
-    (B, Co) f32: the output is ``conv + bias + short*a_s + b_s`` — the
-    projected-shortcut InstanceNorm apply + residual add of
-    ResUNetResidualBlock folded into the epilogue (layers.py:497-531).
-
-    ``oact`` = (act, alpha): output-activation epilogue — the stored tensor
-    is ``act(conv + bias [+ epi])`` (VNet's act-then-norm order); emitted
-    stats then describe the ACTIVATED tensor, which is what its consumer
-    InstanceNorm needs.
-
-    ``emit_stats``: also return the per-(B, Co) f32 (mean, var) of the
-    (epilogue-complete, compute-dtype-rounded) output — the InstanceNorm
-    statistics its pre-act consumer needs, accumulated in the kernel epilogue
-    (Chan-merged per output row). Falls back to a jnp pass over the output
-    when block rounding would over-compute rows (stats must only see real
-    voxels). Returns (y, mean, var) instead of y.
-
-    ``dual`` = (ws, offx, offy) with ws (1, 1, 1, Ci, Cos): ALSO compute the
-    projected 1^3-shortcut conv of the SAME (unpadded) input from the same
-    slab — the residual block's two readers of x in one launch with one slab
-    DMA (fused_preact.dual_entry). offx/offy are the main conv's x/y lo-pad
-    widths (the slab holds the padded tensor; the shortcut reads raw rows at
-    that offset). The shortcut is bias-free, un-prologued, zero-z-pad; its
-    output spatial dims equal the main conv's (caller-checked). Tap form
-    only. Returns ``(y, [mean, var,] ys, [mean_s, var_s])`` appended per the
-    emit flags.
     """
     b, xdim, ci, ydim, zin = xp.shape
     kx, ky, kz, wci, co = w.shape
@@ -875,21 +626,13 @@ def _conv_fwd(
         sy == 1 and ci >= 2 and co >= 2
         and ((ci >= 32 and co <= 32) or (kx == ky == kz == 1))
         and not _os.environ.get("VANGAN_CONV_NO_FORM_B")
-        and dual is None  # the dual shortcut arm is tap-form only
     )
-    dual_cos = dual[0].shape[-1] if dual is not None else 0
 
     # Blocks: computed output is rounded up to a block multiple and trimmed.
     xb, yb = _plan_blocks(xo_dim, yo_dim, (kx, ky, kz), stride, ci, co, zp,
-                          xp.dtype.itemsize, form_b=form_b, pro=pro is not None,
-                          stats=emit_stats, epi=epi is not None,
-                          dual_cos=dual_cos)
+                          xp.dtype.itemsize, form_b=form_b)
     xo_c = _round_up(xo_dim, xb)
     yo_c = _round_up(yo_dim, yb)
-    # In-kernel stats accumulate REAL rows only: over-computed rows (block
-    # rounding) would pollute the sums, so those shapes take a jnp fallback
-    # pass over the stored output instead.
-    stats_fused = emit_stats and xo_c == xo_dim and yo_c == yo_dim
     # Over-pad x/y (zeros) so over-computed rows' DMA reads stay in bounds.
     ys = _round_up(sy * (yb - 1) + ky, 8)
     need_x = sx * (xo_c - xb) + sx * (xb - 1) + kx
@@ -905,8 +648,6 @@ def _conv_fwd(
     xb_in = sx * (xb - 1) + kx
     db = _db_enabled()
     nslots = 2 if db else 1
-    pro_static = (pro[2], pro[3]) if pro is not None else None
-    oact_static = (oact[0], float(oact[1])) if oact is not None else None
     if form_b:
         # y and z carried as MERGED lanes: a free host reshape makes every
         # in-kernel weight product relayout-free
@@ -921,8 +662,7 @@ def _conv_fwd(
             _fwd_kernel_b,
             xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
-            ys=ys, db=db, pro=pro_static, epi=epi is not None, stats=stats_fused,
-            oact=oact_static,
+            ys=ys, db=db,
         )
     else:
         inputs = [xp, _pack_w(w, dtype)]
@@ -934,10 +674,7 @@ def _conv_fwd(
             _fwd_kernel,
             xb=xb, yb=yb, k=(kx, ky, kz), stride=stride, ci=ci, co=co,
             zin=zp, zo=zo, id_tap=id_tap, rest=tuple(rest), has_bias=has_bias,
-            unroll=True, db=db, pro=pro_static, epi=epi is not None,
-            stats=stats_fused, oact=oact_static,
-            dual=dual_cos or None,
-            doffs=(dual[1], dual[2]) if dual is not None else (0, 0),
+            unroll=True, db=db,
         )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -949,112 +686,27 @@ def _conv_fwd(
     if has_bias:
         inputs.append(bias.reshape(co, 1).astype(jnp.float32))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    if pro is not None:
-        scal_spec = pl.BlockSpec(
-            (1, ci, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.VMEM
-        )
-        for arr in (pro[0], pro[1]):  # (B, Ci) f32 affine constants
-            inputs.append(arr.reshape(-1, ci, 1).astype(jnp.float32))
-            in_specs.append(scal_spec)
     out_blk = pl.BlockSpec(
         (1, xb, co, yb, zo), lambda bi, i, j: (bi, i, 0, j, 0),
         memory_space=pltpu.VMEM,
     )
-    if epi is not None:
-        short, ea, eb = epi
-        if short.shape[1] != xo_c or short.shape[3] != yo_c:
-            short = jnp.pad(short, ((0, 0), (0, xo_c - short.shape[1]), (0, 0),
-                                    (0, yo_c - short.shape[3]), (0, 0)))
-        inputs.append(short.astype(dtype))
-        in_specs.append(out_blk)
-        co_spec = pl.BlockSpec(
-            (1, co, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.VMEM
-        )
-        for arr in (ea, eb):  # (B, Co) f32 shortcut-norm affine constants
-            inputs.append(arr.reshape(-1, co, 1).astype(jnp.float32))
-            in_specs.append(co_spec)
 
-    if dual is not None:
-        ws, _, _ = dual
-        # (Cos, Ci) weight matrix + the always-applied (Zp, Zo) z select of
-        # the bias-free zero-pad 1^3 shortcut conv
-        inputs.append(jnp.asarray(ws[0, 0, 0].T, dtype))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        mats_s = _z_selects(1, zin, zo, sz, 0, "zeros")
-        ss = np.pad(mats_s[0], ((0, zp - zin), (0, 0)))
-        inputs.append(jnp.asarray(ss, dtype))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-
-    out_specs = out_blk
-    out_shape = jax.ShapeDtypeStruct((b, xo_c, co, yo_c, zo), dtype)
-    if stats_fused:
-        stat_spec = pl.BlockSpec((1, co, 1), lambda bi, i, j: (bi, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        out_specs = [out_specs, stat_spec, stat_spec]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b, co, 1), jnp.float32),
-                     jax.ShapeDtypeStruct((b, co, 1), jnp.float32)]
-    if dual is not None:
-        out_specs = out_specs if isinstance(out_specs, list) else [out_specs]
-        out_shape = out_shape if isinstance(out_shape, list) else [out_shape]
-        out_specs.append(pl.BlockSpec(
-            (1, xb, dual_cos, yb, zo), lambda bi, i, j: (bi, i, 0, j, 0),
-            memory_space=pltpu.VMEM,
-        ))
-        out_shape.append(jax.ShapeDtypeStruct((b, xo_c, dual_cos, yo_c, zo), dtype))
-        if stats_fused:
-            sspec = pl.BlockSpec((1, dual_cos, 1), lambda bi, i, j: (bi, 0, 0),
-                                 memory_space=pltpu.VMEM)
-            out_specs += [sspec, sspec]
-            out_shape += [jax.ShapeDtypeStruct((b, dual_cos, 1), jnp.float32)] * 2
-
-    r = pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
         grid=(b, xo_c // xb, yo_c // yb),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=out_blk,
+        out_shape=jax.ShapeDtypeStruct((b, xo_c, co, yo_c, zo), dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 3,
         ),
         interpret=_interpret(),
     )(*inputs)
-    rs = r if isinstance(r, (list, tuple)) else [r]
-    y = rs[0]
 
-    def _trim(t):
-        if (xo_c, yo_c) != (xo_dim, yo_dim):
-            return t[:, :xo_dim, :, :yo_dim]
-        return t
-
-    def _jnp_mv(t):
-        mean = jnp.mean(t, axis=(1, 3, 4), dtype=jnp.float32)
-        tc = t.astype(jnp.float32) - mean[:, None, :, None, None]
-        var = jnp.mean(lax.square(tc), axis=(1, 3, 4), dtype=jnp.float32)
-        return mean, var
-
-    y = _trim(y)
-    n = xo_dim * yo_dim * zo
-    out = [y]
-    if emit_stats:
-        if stats_fused:
-            out += [rs[1][..., 0], jnp.maximum(rs[2][..., 0] / n, 0.0)]
-        else:
-            # over-computed-rows fallback: a two-pass jnp reduction over the
-            # stored output (correct for any block plan; one extra HBM read)
-            out += list(_jnp_mv(y))
-    if dual is not None:
-        i_s = 3 if stats_fused else 1
-        ys_ = _trim(rs[i_s])
-        out.append(ys_)
-        if emit_stats:
-            if stats_fused:
-                out += [rs[i_s + 1][..., 0],
-                        jnp.maximum(rs[i_s + 2][..., 0] / n, 0.0)]
-            else:
-                out += list(_jnp_mv(ys_))
-    return out[0] if len(out) == 1 else tuple(out)
+    if (xo_c, yo_c) != (xo_dim, yo_dim):
+        y = y[:, :xo_dim, :, :yo_dim]
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -1076,13 +728,10 @@ def _wgrad_kernel(
     rest: Sequence[int],
     unroll: bool,
     db: bool,
-    pro: Optional[Tuple[str, float]] = None,
 ):
     it = iter(refs)
     x_hbm, g_ref = next(it), next(it)
     st_ref = next(it) if rest else None
-    pa_ref = next(it) if pro is not None else None
-    pb_ref = next(it) if pro is not None else None
     dw_ref, x_vmem, sem = next(it), next(it), next(it)
     kx, ky, kz = k
     sx, sy, sz = stride
@@ -1108,17 +757,13 @@ def _wgrad_kernel(
         ]
 
     slot = _slab_pipeline(x_vmem, sem, mk, db)
-    pro_tap = None
-    if pro is not None:
-        # the patch matrix must be the TRANSFORMED tensor t = act(x*a+b)
-        # (dW = g x-contract t); g itself is a cotangent — never transformed
-        pro_tap = (_pro_bcast(pa_ref, pb_ref, (ci, ys, zin), x_vmem.dtype),
-                   pro[0], pro[1])
 
     kz_ = k[2]
     # see _fwd_kernel: one (kz*Co)-row A@B^T instead of kz (Co)-row dots;
-    # honours the same VANGAN_CONV_STACK=0 A/B switch (the bwd regression
-    # being bisected lives in wgrad/dgrad, so the kill switch must cover it)
+    # honours the same VANGAN_CONV_STACK=0 A/B switch (the round-3 enc1
+    # stride-2 bwd regression lives in wgrad/dgrad; the round-4 bisect
+    # measured the default stack+db config BEST — 16.20 ms vs 16.56 (stack
+    # off) / 18.01 (db off) / 18.15 (both off) — so the switch stays A/B-only)
     stacked = (co % 8 == 0 and kz_ > 1
                and os.environ.get("VANGAN_CONV_STACK", "1") != "0")
 
@@ -1136,7 +781,7 @@ def _wgrad_kernel(
 
     def body(xo, _):
         p = _tap_matrix(x_vmem, slot, xo, xb=xb, yb=yb, k=k, stride=stride,
-                        ci=ci, zin=zin, pro=pro_tap)
+                        ci=ci, zin=zin)
 
         g2 = g_ref[0, pl.ds(xo, 1)][0].reshape(co * yb, zo)  # (Co*yb, Zo)
         # Gd_dz = G @ S_dz^T, stacked: (Co*yb, len(rest)*Zp) in one matmul
@@ -1176,12 +821,8 @@ def _conv_wgrad(
     stride: Tuple[int, int, int],
     z_pad: Tuple[int, int],
     z_mode: str,
-    pro=None,
 ) -> jnp.ndarray:
-    """dL/dw for the core conv. xp: (B,Xp,Ci,Yp,Zin); g: (B,Xo,Co,Yo,Zo).
-
-    ``pro`` = (a, b, act, alpha): the fused pre-act prologue — the patch
-    matrix is built from ``act(xp*a + b)`` (see _conv_fwd)."""
+    """dL/dw for the core conv. xp: (B,Xp,Ci,Yp,Zin); g: (B,Xo,Co,Yo,Zo)."""
     b, xdim, ci, ydim, zin = xp.shape
     _, xo_dim, co, yo_dim, zo = g.shape
     kx, ky, kz = k
@@ -1195,8 +836,7 @@ def _conv_wgrad(
         else None
     )  # (Zo, len(rest)*Zp)
 
-    xb, yb = _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, xp.dtype.itemsize,
-                          pro=pro is not None)
+    xb, yb = _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, xp.dtype.itemsize)
     xo_c = _round_up(xo_dim, xb)
     yo_c = _round_up(yo_dim, yb)
     # over-computed rows must contribute ZERO to dw: pad g with zeros and pad
@@ -1224,13 +864,6 @@ def _conv_wgrad(
     if rest:
         inputs.append(jnp.asarray(st_cat, dtype))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    if pro is not None:
-        scal_spec = pl.BlockSpec(
-            (1, ci, 1), lambda bi, i, j: (bi, 0, 0), memory_space=pltpu.VMEM
-        )
-        for arr in (pro[0], pro[1]):
-            inputs.append(arr.reshape(-1, ci, 1).astype(jnp.float32))
-            in_specs.append(scal_spec)
 
     db = _db_enabled()
     nslots = 2 if db else 1
@@ -1239,7 +872,6 @@ def _conv_wgrad(
         xb=xb, yb=yb, k=k, stride=stride, ci=ci, co=co, zin=zp, zo=zo,
         id_tap=id_tap, rest=tuple(rest),
         unroll=True, db=db,
-        pro=(pro[2], pro[3]) if pro is not None else None,
     )
     xb_in = sx * (xb - 1) + kx
     dw3 = pl.pallas_call(
