@@ -337,30 +337,61 @@ def run_inference() -> None:
     def apply_fn(v, x):
         return model.apply(v, x, train=False)
 
+    # the metric is dominated by the tunnelled host link on this platform
+    # (~2-20 MB/s, varies by the HOUR — memory/PERF.md round 4): measure the
+    # link right now and embed it in the JSON so the recorded Mvox/s carries
+    # its confounder. 16 MB probe each way, scalar-fetch synced.
+    _phase("link probe")
+    import jax.numpy as jnp
+    probe_np = np.ones((4 * 1024 * 1024,), np.float32)
+    t0 = time.perf_counter()
+    probe_d = jnp.asarray(probe_np)
+    float(probe_d[0])
+    h2d_mbps = probe_np.nbytes / (time.perf_counter() - t0) / 1e6
+    t0 = time.perf_counter()
+    np.asarray(probe_d)
+    d2h_mbps = probe_np.nbytes / (time.perf_counter() - t0) / 1e6
+    _phase(f"link: h2d {h2d_mbps:.1f} MB/s, d2h {d2h_mbps:.1f} MB/s")
+
+    # int8 upload (quantized on host, dequantized on device) is the
+    # production config for uint8-TIFF consumers — within one grey level of
+    # the float path on the output grid (tests/test_stitcher.py) at half the
+    # f16 upload bytes. VANGAN_BENCH_UPLOAD overrides for A/B.
+    upload_dtype = os.environ.get("VANGAN_BENCH_UPLOAD", "int8")
     kw = dict(subvol_size=(1, 128, 128, 128, 1), stride=(64, 64, 64), complete=True,
               padFactor=0.1, save=False, batch_size=cfg.stitcher_batch, blend="gaussian",
               device_apply=(apply_fn, variables),
               # the production run_mapping config: exactly-scaled uint8 band
-              # streaming + f16 upload + on-device padding (the tunnelled
-              # host link is the bottleneck — tests/test_stitcher.py)
+              # streaming + on-device padding (the tunnelled host link is
+              # the bottleneck — tests/test_stitcher.py)
               stream_dtype=cfg.stitcher_stream_dtype,
-              upload_dtype=cfg.stitcher_upload_dtype)
+              upload_dtype=upload_dtype)
     # shape-correct warm-up: ONE accumulation chunk on the real volume
     # compiles every shape-keyed program the timed run uses (VERDICT r2 weak
     # #5 — a 160^3 warm-up volume warmed nothing for the 720^3 buffers)
     _phase("warm-up chunk (compiles)")
     stitch_subvolumes(None, vol, max_chunks=1, **kw)
     _phase("timed stitch")
+    phases: dict = {}
     t0 = time.perf_counter()
-    out = stitch_subvolumes(None, vol, **kw)
+    out = stitch_subvolumes(None, vol, timings=phases, **kw)
     dt = time.perf_counter() - t0
     mvox = out.size / dt / 1e6
-    _emit({
+    _phase(f"phases: {phases}")
+    line = {
         "metric": "fullvol_600cube_gaussian_stitch_Mvoxels_per_sec",
         "value": round(mvox, 2), "unit": "Mvoxels/s",
         "vs_baseline": round(mvox / 1.0, 2),
         "baseline": "estimated",
-    })
+        "config": {"upload_dtype": upload_dtype,
+                   "stream_dtype": cfg.stitcher_stream_dtype},
+        "link_MBps": {"h2d": round(h2d_mbps, 1), "d2h": round(d2h_mbps, 1)},
+        "phases_s": {k: round(v, 1) for k, v in phases.items()},
+    }
+    if phases.get("compute_s"):
+        # the link-independent number: voxels/s of pure device stitch time
+        line["device_Mvox_per_sec"] = round(out.size / phases["compute_s"] / 1e6, 2)
+    _emit(line)
 
 
 def run_selftest() -> int:

@@ -87,6 +87,10 @@ def main() -> None:
     ap.add_argument("--results-md", default=None,
                     help="append Dice/clDice results to this markdown file")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--remat", type=int, choices=[0, 1], default=None,
+                    help="override cfg.remat (0 is the measured ~30%% batch-1 "
+                         "win at 128^3 on a 16 GB v5e — docs/PERF.md; batch "
+                         ">= 2 needs remat=1 to fit)")
     ap.add_argument("--out", default="/tmp/vg_synthetic")
     ap.add_argument(
         "--preset", choices=["results"], default=None,
@@ -178,6 +182,7 @@ def main() -> None:
         cldice_iters=args.cldice_iters,
         PERIOD_2D_CALLBACK=2,
         train_steps=args.steps_per_epoch,
+        **({} if args.remat is None else {"remat": bool(args.remat)}),
     )
     save_args(cfg, os.path.join(args.out, "Args_Settings.txt"))
 

@@ -402,3 +402,58 @@ class TestStreamDtype:
         f32 = stitch_subvolumes(None, img, **kw)
         f16 = stitch_subvolumes(None, img, upload_dtype="float16", **kw)
         np.testing.assert_allclose(f16, f32, atol=1.0)
+
+    def test_device_int8_upload_close_to_f32(self, rng):
+        """int8 upload (symmetric absmax quantization, on-device dequant —
+        the last 2x on the h2d link) stays within ~one grey level of the f32
+        upload path on the uint8 output grid for a [-1,1]-normalized volume
+        (the pipeline's OTF normalization contract)."""
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * 0.7)
+
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        img /= np.abs(img).max()
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(4, 4, 4), complete=True,
+                  padFactor=0.25, save=False, batch_size=4,
+                  device_apply=(apply_fn, {}), stream_dtype="uint8")
+        f32 = stitch_subvolumes(None, img, upload_dtype="float32", **kw)
+        i8 = stitch_subvolumes(None, img, upload_dtype="int8", **kw)
+        # input quantization step 1/127 -> <= ~0.6 grey levels through the
+        # tanh generator + exact-min-max rescale, + 0.5 rounding per path
+        np.testing.assert_allclose(i8, f32, atol=1.51)
+
+    def test_int8_upload_no_pad(self, rng):
+        """int8 dequant path with pad_spec=None (complete=False)."""
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * 0.7)
+
+        img = rng.normal(size=(16, 16, 8, 1)).astype(np.float32)
+        img /= np.abs(img).max()
+        kw = dict(subvol_size=(1, 8, 8, 8, 1), stride=(8, 8, 8), complete=False,
+                  save=False, batch_size=4, device_apply=(apply_fn, {}),
+                  stream_dtype="float32")
+        f32 = stitch_subvolumes(None, img, upload_dtype="float32", **kw)
+        i8 = stitch_subvolumes(None, img, upload_dtype="int8", **kw)
+        np.testing.assert_allclose(i8, f32, atol=2.0)
+
+    def test_timings_dict_filled(self, rng):
+        """The uint8 two-pass mode fills the benchmarking phase decomposition
+        {upload_s, compute_s, download_s} (bench.py embeds it in the metric
+        JSON so the recorded Mvox/s carries its link-speed confounder)."""
+        import jax.numpy as jnp
+
+        def apply_fn(variables, x):
+            return jnp.tanh(x * 0.7)
+
+        img = rng.normal(size=(20, 20, 12, 1)).astype(np.float32)
+        tm: dict = {}
+        stitch_subvolumes(None, img, subvol_size=(1, 8, 8, 8, 1),
+                          stride=(4, 4, 4), complete=True, padFactor=0.25,
+                          save=False, batch_size=4, device_apply=(apply_fn, {}),
+                          stream_dtype="uint8", timings=tm)
+        assert set(tm) == {"upload_s", "compute_s", "download_s"}
+        assert all(v >= 0.0 for v in tm.values())

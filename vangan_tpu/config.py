@@ -126,7 +126,10 @@ class VanGanConfig:
     # the full-volume inference bottleneck (~5-20 MB/s tunnelled d2h)
     stitcher_stream_dtype: str = "uint8"
     # dtype the input volume crosses the h2d link in ('float16' halves the
-    # upload; the generators compute in bf16 regardless)
+    # upload; the generators compute in bf16 regardless; 'int8' halves it
+    # again via symmetric absmax quantization + on-device dequant — lossy by
+    # <= absmax/254 per input voxel, within one grey level on the uint8
+    # output grid — see stitch_subvolumes docs)
     stitcher_upload_dtype: str = "float16"
     # on-device stitcher accumulation (upload volume once, jitted
     # gather/apply/scatter-add scan, one download) vs host numpy loop
