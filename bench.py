@@ -244,6 +244,13 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
             else batch_per_chip >= 2
         ),
         output_dir="/tmp/vg_bench",
+        # manual arm for BASELINE config 4 (V-Net generator variant swapped
+        # into the same loop): VANGAN_BENCH_GEN=vnet python bench.py --batch 1.
+        # Not launched by main() — the primary metric stays the flagship
+        # ResU-Net; the provenance config field records the arch.
+        **({"gen_i2s": os.environ["VANGAN_BENCH_GEN"],
+            "gen_s2i": os.environ["VANGAN_BENCH_GEN"]}
+           if os.environ.get("VANGAN_BENCH_GEN") else {}),
     )
     models = {
         "gen_IS": build_generator(cfg.gen_i2s, cfg, role="i2s"),
@@ -303,6 +310,7 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
                 "batch_per_chip": batch_per_chip,
                 "backward_mode": cfg.backward_mode,
                 "remat": bool(cfg.remat),
+                "generator": cfg.gen_i2s,
             },
         }
     )
