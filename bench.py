@@ -406,9 +406,9 @@ def run_selftest() -> int:
     """Run the on-chip Pallas parity tests (VERDICT round-1 weak #6) so every
     bench round re-validates kernel correctness on real hardware."""
     os.makedirs(LOG_DIR, exist_ok=True)
-    # no -x: a failure in the (chip-unvalidated) FusedPreact gate class must
-    # not mask the default-path parity tests that validate what the primary
-    # probes actually run — report every failure instead
+    # no -x: a failure in any one gate class must not mask the default-path
+    # parity tests that validate what the primary probes actually run —
+    # report every failure instead
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_pallas_tpu.py", "-q",
          "--no-header"],
