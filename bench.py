@@ -544,32 +544,31 @@ def main() -> None:
     # (BENCH_r03.json rc=124). `python bench.py --selftest` runs it on demand;
     # the probes below exercise every hot kernel on the real path anyway.
 
-    # Probe plan, in value order under the budget: batch 1 is the known
-    # winner (docs/BENCH_SESSION_r3.md) and prints the primary line the
-    # moment it lands; the inference metric gets a reserved slice; batch 3
-    # (reference-parity batch, split step) runs only with leftover budget.
+    # Probe plan (round-5 order, VERDICT r4 item 1): batch 3 — the
+    # reference's actual per-chip training batch (main.py:71-72) — runs
+    # FIRST (it was budget-starved in round 4); then batch 1 (the known
+    # per-chip throughput winner, docs/BENCH_SESSION_r3.md); the inference
+    # metric keeps a reserved slice.
     INFER_RESERVE = 420.0
+    BATCH1_RESERVE = 380.0
     results = []
+    r = _probe_with_retry(["--batch", "3"], "batch3", failures,
+                          timeout=1800, reserve=INFER_RESERVE + BATCH1_RESERVE)
+    if r is not None:
+        results.append(r)
+        _emit(r)  # probes run in captured subprocesses: the parent flushes
+
     r = _probe_with_retry(["--batch", "1"], "batch1", failures,
                           timeout=1800, reserve=INFER_RESERVE)
     if r is not None:
         results.append(r)
-        _emit(r)  # probes run in captured subprocesses: the parent flushes
+        _emit(r)
 
     # secondary metric (BASELINE config 3) — runs regardless of the primary
     inference = _probe_with_retry(["--inference"], "inference", failures,
                                   timeout=1200)
     if inference is not None:
         _emit(inference)
-
-    if _remaining() > 700:
-        r = _probe_with_retry(["--batch", "3"], "batch3", failures,
-                              timeout=1200, reserve=60)
-        if r is not None:
-            results.append(r)
-            _emit(r)
-    else:
-        sys.stderr.write(f"[bench] batch-3 probe skipped: {_remaining():.0f}s left\n")
 
     primary = max(results, key=lambda r: r["value"]) if results else None
     if primary is not None:

@@ -1,0 +1,249 @@
+"""Model-weight-port golden parity: the reference's OWN Keras model builders
+(/root/reference/resunet_model.py, /root/reference/discriminator.py) vs our
+flax modules, with one set of weights ported between them and f32 forward
+values asserted equal (round-4 VERDICT missing #1).
+
+Method: build the reference network with its actual TF code (tfa
+InstanceNormalization hand-rolled — tfa is not installed here; the layer is
+8 lines of documented semantics, GroupNormalization(groups=C), epsilon 1e-3),
+copy our flax-initialised parameters into the TF layers, RANDOMISE the TF-only
+parameters our models drop as IN-cancelled dead weights (docs/PARITY.md), and
+compare forwards. Agreement proves (a) the architectures are the same function
+and (b) the dead-parameter claim — a random dead bias must not change the
+output.
+
+Keras auto-names layers with per-class counters (conv3d, conv3d_1, ...), so
+sorting a model's layers of one class by name index reconstructs creation
+order — the same order our flax modules declare their submodules in.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import types
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference"
+
+
+class InstanceNormalization(tf.keras.layers.Layer):
+    """tfa.layers.InstanceNormalization semantics (per-sample per-channel
+    normalisation over spatial axes, epsilon=1e-3, learned gamma/beta) —
+    tfa is unavailable here, so the 8-line layer is reconstructed from its
+    documented definition (GroupNormalization with groups=channels)."""
+
+    def __init__(self, gamma_initializer=None, **kwargs):
+        super().__init__(**kwargs)
+        self._gamma_init = gamma_initializer or "ones"
+
+    def build(self, input_shape):
+        c = int(input_shape[-1])
+        self.gamma = self.add_weight(name="gamma", shape=(c,), initializer=self._gamma_init)
+        self.beta = self.add_weight(name="beta", shape=(c,), initializer="zeros")
+
+    def call(self, x):
+        axes = list(range(1, len(x.shape) - 1))
+        mean = tf.reduce_mean(x, axis=axes, keepdims=True)
+        var = tf.reduce_mean(tf.square(x - mean), axis=axes, keepdims=True)
+        return self.gamma * (x - mean) * tf.math.rsqrt(var + 1e-3) + self.beta
+
+
+def _load_reference_models():
+    """Import the reference model modules with import-only shims (the same
+    machinery as test_reference_golden.py, plus a functional tfa.layers)."""
+    for name in ("skimage", "skimage.io", "skimage.exposure"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__vangan_golden_stub__ = True
+            sys.modules[name] = mod
+    sys.modules["skimage"].io = sys.modules["skimage.io"]
+    sys.modules["skimage"].exposure = sys.modules["skimage.exposure"]
+
+    tfa = sys.modules.get("tensorflow_addons")
+    if tfa is None:
+        tfa = types.ModuleType("tensorflow_addons")
+        tfa.__vangan_golden_stub__ = True
+        sys.modules["tensorflow_addons"] = tfa
+    tfa.layers = types.SimpleNamespace(
+        InstanceNormalization=InstanceNormalization,
+        SpectralNormalization=lambda layer: layer,  # unused in tested configs
+    )
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import discriminator as ref_disc  # noqa: F401
+    import resunet_model as ref_resunet  # noqa: F401
+
+    assert ref_resunet.__file__.startswith(REF)
+    return ref_resunet, ref_disc
+
+
+ref_resunet, ref_disc = _load_reference_models()
+
+
+def _by_creation(model, cls):
+    """A model's layers of one class, in creation order (auto-name counter)."""
+
+    def idx(layer):
+        m = re.search(r"_(\d+)$", layer.name)
+        return int(m.group(1)) if m else -1
+
+    return sorted([l for l in model.layers if isinstance(l, cls)], key=idx)
+
+
+def _leaves(tree):
+    """{keystr: np.ndarray} for a flax param (sub)tree."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat}
+
+
+class _Port:
+    """Copies flax params into TF layers; randomises TF-only dead weights."""
+
+    def __init__(self, params, rng):
+        self.p = _leaves(params)
+        self.rng = rng
+        self.used = set()
+
+    def conv(self, layer, path, has_bias):
+        kernel = self.p[f"{path}['kernel']"]
+        assert tuple(layer.kernel.shape) == kernel.shape, (layer.name, path)
+        weights = [kernel]
+        if layer.use_bias:
+            if has_bias:
+                weights.append(self.p[f"{path}['bias']"])
+            else:
+                # our model drops this bias as exactly IN-cancelled
+                # (docs/PARITY.md); a RANDOM value here must not matter
+                weights.append(self.rng.normal(size=layer.bias.shape).astype(np.float32))
+        layer.set_weights(weights)
+        self.used.update({f"{path}['kernel']"} | ({f"{path}['bias']"} if has_bias else set()))
+
+    def inorm(self, layer, path):
+        layer.set_weights([self.p[f"{path}['scale']"], self.p[f"{path}['bias']"]])
+        self.used.update({f"{path}['scale']", f"{path}['bias']"})
+
+    def dense(self, layer, path):
+        layer.set_weights([self.p[f"{path}['kernel']"], self.p[f"{path}['bias']"]])
+        self.used.update({f"{path}['kernel']", f"{path}['bias']"})
+
+    def assert_exhausted(self):
+        unused = set(self.p) - self.used
+        assert not unused, f"flax params never ported: {sorted(unused)[:6]}"
+
+
+def _port_resunet(tf_model, params, num_layers, rng):
+    """Map our ResUNet3D params onto the reference ResUNet's layers.
+
+    Creation order (resunet_model.py:226-245): stem{conv1, conv_block, shortcut},
+    enc1..L{block1, block2, shortcut}, bridge1, bridge2, decL-1..0{same},
+    head; INs: stem{conv_block, shortcut_norm}, per block{block1, block2,
+    shortcut_norm}, bridge1, bridge2.
+    """
+    port = _Port(params, rng)
+    convs = iter(_by_creation(tf_model, tf.keras.layers.Conv3D))
+    ins = iter(_by_creation(tf_model, InstanceNormalization))
+
+    def block(name):
+        port.inorm(next(ins), f"['{name}']['block1']['norm_act']['inorm']")
+        port.conv(next(convs), f"['{name}']['block1']['conv']", has_bias=False)
+        port.inorm(next(ins), f"['{name}']['block2']['norm_act']['inorm']")
+        port.conv(next(convs), f"['{name}']['block2']['conv']", has_bias=True)
+        port.conv(next(convs), f"['{name}']['shortcut']", has_bias=False)
+        port.inorm(next(ins), f"['{name}']['shortcut_norm']['inorm']")
+
+    port.conv(next(convs), "['stem']['conv1']", has_bias=False)
+    port.inorm(next(ins), "['stem']['conv_block']['norm_act']['inorm']")
+    port.conv(next(convs), "['stem']['conv_block']['conv']", has_bias=True)
+    port.conv(next(convs), "['stem']['shortcut']", has_bias=False)
+    port.inorm(next(ins), "['stem']['shortcut_norm']['inorm']")
+    for e in range(1, num_layers + 1):
+        block(f"enc{e}")
+    port.inorm(next(ins), "['bridge1']['norm_act']['inorm']")
+    port.conv(next(convs), "['bridge1']['conv']", has_bias=False)
+    port.inorm(next(ins), "['bridge2']['norm_act']['inorm']")
+    port.conv(next(convs), "['bridge2']['conv']", has_bias=True)
+    for d in reversed(range(num_layers)):
+        block(f"dec{d}")
+    port.conv(next(convs), "['head']", has_bias=True)
+    assert next(convs, None) is None and next(ins, None) is None
+    port.assert_exhausted()
+
+
+def _port_discriminator(tf_model, params, wasserstein, rng):
+    """Map our PatchGANDiscriminator3D params onto get_discriminator's layers
+    (discriminator.py:46-121): conv0+inorm0, down0..2{conv, inorm}, head."""
+    port = _Port(params, rng)
+    convs = iter(_by_creation(tf_model, tf.keras.layers.Conv3D))
+    ins = iter(_by_creation(tf_model, InstanceNormalization))
+    port.conv(next(convs), "['conv0']", has_bias=False)  # IN-fed: dead bias
+    port.inorm(next(ins), "['inorm0']")
+    for b in range(3):
+        port.conv(next(convs), f"['down{b}']['conv']", has_bias=False)
+        port.inorm(next(ins), f"['down{b}']['inorm']")
+    port.conv(next(convs), "['head']", has_bias=True)
+    if wasserstein:
+        port.dense(tf_model.layers[-1], "['w_dense']")
+    assert next(convs, None) is None and next(ins, None) is None
+    port.assert_exhausted()
+
+
+class TestModelGolden:
+    @pytest.mark.slow
+    def test_resunet_forward_parity(self, rng):
+        """VanGan's generator config (vangan.py:111-122: upsample 'simple',
+        dropout_type 'none') at reduced size: 32^3, filters=4, num_layers=4
+        (the full reference ladder depth; bridge at 2^3)."""
+        from vangan_tpu.models import ResUNet3D
+
+        size, f, L = 32, 4, 4
+        tf.keras.backend.clear_session()
+        tf_model = ref_resunet.ResUNet(
+            (size, size, size, 1), upsample_mode="simple", dropout_type="none",
+            filters=f, num_layers=L, output_activation="tanh",
+        )
+        ours = ResUNet3D(upsample_mode="simple", dropout_type="none", filters=f,
+                         num_layers=L, layout="NXYZC", dtype=jnp.float32)
+        x = rng.normal(size=(2, size, size, size, 1)).astype(np.float32)
+        variables = ours.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+        _port_resunet(tf_model, variables["params"], L, rng)
+
+        want = tf_model(tf.constant(x), training=False).numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("wasserstein", [False, True])
+    def test_discriminator_forward_parity(self, rng, wasserstein):
+        """VanGan's discriminator config (vangan.py:167-192: dropout + input/
+        layer noise, all inference-inactive) at 32^3, filters=8."""
+        from vangan_tpu.models import PatchGANDiscriminator3D
+
+        size, f = 32, 8
+        tf.keras.backend.clear_session()
+        tf_model = ref_disc.get_discriminator(
+            input_img_size=(size, size, size, 1), filters=f, use_dropout=True,
+            use_input_noise=True, use_layer_noise=True, noise_std=0.1,
+            wasserstein=wasserstein, name="disc",
+        )
+        ours = PatchGANDiscriminator3D(
+            filters=f, use_dropout=True, use_input_noise=True, use_layer_noise=True,
+            noise_std=0.1, wasserstein=wasserstein, layout="NXYZC", dtype=jnp.float32,
+        )
+        x = rng.normal(size=(2, size, size, size, 1)).astype(np.float32)
+        variables = ours.init({"params": jax.random.PRNGKey(1)}, jnp.asarray(x), train=False)
+        _port_discriminator(tf_model, variables["params"], wasserstein, rng)
+
+        want = tf_model(tf.constant(x), training=False).numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)

@@ -123,6 +123,79 @@ class TestGradientExactness:
                 np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-6)
 
 
+class TestIdentityLoss:
+    """cfg.use_identity_loss wiring (vangan.py:310-312, commented there)."""
+
+    @pytest.mark.slow
+    def test_identity_grads_match_independent_backwards(self, rng):
+        from vangan_tpu.losses import identity_loss
+
+        cfg = tiny_cfg(use_identity_loss=True)
+        models = tiny_models(deterministic=True)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        real_I, real_S = make_batch(rng, cfg)
+        key = jax.random.PRNGKey(7)
+        noise_std = jnp.zeros(())
+
+        grads, (result, _) = jax.grad(fns.compute_losses, argnums=0, has_aux=True)(
+            state.params, state.model_state, real_I, real_S, key, noise_std, True, None
+        )
+        assert "identity_IS_loss" in result and "identity_SI_loss" in result
+        assert np.isfinite(float(result["identity_IS_loss"]))
+
+        scales = LossScales(global_batch_size=cfg.GLOBAL_BATCH_SIZE, n_devices=1,
+                            cldice_iters=cfg.cldice_iters)
+
+        def ref_losses(params):
+            ap = lambda name, x: models[name].apply({"params": params[name]}, x, train=True)
+            fake_S = ap("gen_IS", real_I)
+            fake_I = ap("gen_SI", real_S)
+            cycled_S = ap("gen_IS", fake_I)
+            cycled_I = ap("gen_SI", fake_S)
+            cl_I = cycle_loss(scales, real_S, cycled_S, "bce")
+            seg = cycle_seg_loss(scales, real_S, cycled_S)
+            cl_S = cycle_loss(scales, real_I, cycled_I, "mse")
+            rec = cycle_reconstruction(scales, real_I, cycled_I)
+            # identity terms, each in its own generator's total (step.py note)
+            id_IS = identity_loss(scales, real_S, ap("gen_IS", real_S), typ="cldice")
+            id_SI = identity_loss(scales, real_I, ap("gen_SI", real_I), typ=None)
+            d = lambda name, x: models[name].apply(
+                {"params": params[name]}, x, train=True, noise_std=noise_std
+            )
+            d_fake_S, d_fake_I = d("disc_S", fake_S), d("disc_I", fake_I)
+            total_I = generator_loss_fn(scales, d_fake_S) + cl_I + seg + id_IS
+            total_S = generator_loss_fn(scales, d_fake_I) + cl_S + rec + id_SI
+            return total_I, total_S
+
+        p = state.params
+        want_IS = jax.grad(lambda q: ref_losses({**p, "gen_IS": q})[0])(p["gen_IS"])
+        want_SI = jax.grad(lambda q: ref_losses({**p, "gen_SI": q})[1])(p["gen_SI"])
+        for got, want in ((grads["gen_IS"], want_IS), (grads["gen_SI"], want_SI)):
+            for g, w in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-6)
+
+    def test_disc_grads_unaffected_by_identity(self, rng):
+        models = tiny_models(deterministic=True)
+        real_I = real_S = None
+        outs = {}
+        for flag in (False, True):
+            cfg = tiny_cfg(use_identity_loss=flag)
+            fns = make_step_fns(cfg, models, steps_per_epoch=10)
+            state = fns.init(jax.random.PRNGKey(0))
+            if real_I is None:
+                real_I, real_S = make_batch(rng, cfg)
+            grads, _ = jax.grad(fns.compute_losses, argnums=0, has_aux=True)(
+                state.params, state.model_state, real_I, real_S, jax.random.PRNGKey(7),
+                jnp.zeros(()), True, None,
+            )
+            outs[flag] = grads
+        for name in ("disc_I", "disc_S"):
+            for a, b in zip(jax.tree_util.tree_leaves(outs[False][name]),
+                            jax.tree_util.tree_leaves(outs[True][name])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestTrainStep:
     @pytest.mark.slow
     def test_smoke_and_params_change(self, rng):

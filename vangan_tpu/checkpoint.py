@@ -21,38 +21,104 @@ import orbax.checkpoint as ocp
 
 
 class VanGanCheckpointer:
-    """Save/load VanGanState by epoch number (vangan.py:247-268 API parity)."""
+    """Save/load VanGanState by epoch number (vangan.py:247-268 API parity).
+
+    Saves are ASYNCHRONOUS (SURVEY §5 build plan): ``save`` serialises device
+    arrays to host, dispatches the disk write to a background thread and
+    returns — the epoch loop never blocks on IO. ``AsyncCheckpointer.save``
+    itself waits for any previous in-flight write first, so back-to-back
+    saves stay atomic; call :meth:`wait_until_finished` before reading a
+    just-written checkpoint or exiting the process.
+    """
 
     def __init__(self, output_dir: str):
         self.checkpoint_dir = os.path.abspath(os.path.join(output_dir, "checkpoints"))
         os.makedirs(self.checkpoint_dir, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
 
     def _path(self, epoch: int, newpath: Optional[str] = None) -> str:
         base = os.path.abspath(newpath) if newpath else self.checkpoint_dir
         return os.path.join(base, f"checkpoint_e{epoch}")
 
     def save(self, state: Any, epoch: int) -> None:
-        """Write checkpoint_e{epoch+1}, overwriting if present (vangan.py:247-250)."""
+        """Write checkpoint_e{epoch+1}, overwriting if present (vangan.py:247-250).
+
+        Returns as soon as the write is dispatched (async)."""
         path = self._path(epoch + 1)
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
-        print(f"\nSaved checkpoint to {path}\n")
+        print(f"\nSaving checkpoint to {path} (async)\n")
 
-    def load(self, template: Any, epoch: int, newpath: Optional[str] = None) -> Optional[Any]:
+    def wait_until_finished(self) -> None:
+        """Block until every dispatched save has committed to disk."""
+        self._ckptr.wait_until_finished()
+
+    def load(
+        self,
+        template: Any,
+        epoch: int,
+        newpath: Optional[str] = None,
+        expect_partial: bool = False,
+    ) -> Optional[Any]:
         """Restore checkpoint_e{epoch} into the structure of ``template``
-        (vangan.py:252-268). Returns None if missing."""
+        (vangan.py:252-268). Returns None if missing.
+
+        ``expect_partial`` mirrors tf.train.Checkpoint semantics honestly:
+        False (default) requires the stored tree to match ``template``
+        exactly and errors loudly listing the mismatched paths; True merges
+        the intersection (matching shape+dtype leaves restored, the rest of
+        the template kept) and reports what was skipped.
+        """
         path = self._path(epoch, newpath)
         print(f"Trying to load checkpoint from path: {path}")
+        self._ckptr.wait_until_finished()  # the ckpt may still be in flight
         if not os.path.isdir(path):
             print("Error: Checkpoint not found!")
             return None
-        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
-        state = self._ckptr.restore(path, abstract)
+        # restore as-saved (no template), then merge by path so structure
+        # mismatches are OUR diagnostic, not an orbax traceback
+        stored = self._ckptr.restore(path)
+        stored_flat = dict(_flatten_paths(stored))
+        template_flat = _flatten_paths(template)
+        missing = [k for k, _ in template_flat if k not in stored_flat]
+        extra = sorted(set(stored_flat) - {k for k, _ in template_flat})
+        if not expect_partial and (missing or extra):
+            raise ValueError(
+                f"checkpoint {path} does not match the model/optimizer tree "
+                f"(pass expect_partial=True to merge the intersection).\n"
+                f"  missing from checkpoint: {missing[:8]}{'...' if len(missing) > 8 else ''}\n"
+                f"  extra in checkpoint: {extra[:8]}{'...' if len(extra) > 8 else ''}"
+            )
+        skipped = []
+        merged_leaves = []
+        for key, tleaf in template_flat:
+            sleaf = stored_flat.get(key)
+            if sleaf is None:
+                skipped.append(key)
+                merged_leaves.append(tleaf)
+                continue
+            t = np.asarray(tleaf)
+            s = np.asarray(sleaf)
+            if s.shape != t.shape or (not expect_partial and s.dtype != t.dtype):
+                if not expect_partial:
+                    raise ValueError(
+                        f"checkpoint leaf {key} has shape/dtype {s.shape}/{s.dtype}, "
+                        f"model expects {t.shape}/{t.dtype}"
+                    )
+                skipped.append(key)
+                merged_leaves.append(tleaf)
+                continue
+            merged_leaves.append(s.astype(t.dtype))
+        if skipped or extra:
+            print(f"expect_partial: kept template values for {len(skipped)} leaves; "
+                  f"ignored {len(extra)} checkpoint-only leaves")
+        treedef = jax.tree_util.tree_structure(template)
+        state = jax.tree_util.tree_unflatten(treedef, merged_leaves)
         print(f"Loaded checkpoint from {path}\n")
         return state
 
+
     def latest_epoch(self) -> Optional[int]:
+        self._ckptr.wait_until_finished()  # commit in-flight saves first
         epochs = []
         for d in os.listdir(self.checkpoint_dir):
             if d.startswith("checkpoint_e"):
@@ -61,6 +127,29 @@ class VanGanCheckpointer:
                 except ValueError:
                     pass
         return max(epochs) if epochs else None
+
+
+def _canon_path(path) -> str:
+    """Canonical container-style-independent key: orbax restores NamedTuples/
+    dataclasses as plain dicts, so `.step` / `(...).count` (template) and
+    `['step']` / `['count']` (stored) must compare equal."""
+    parts = []
+    for e in path:
+        if hasattr(e, "key"):  # DictKey
+            parts.append(str(e.key))
+        elif hasattr(e, "name"):  # GetAttrKey
+            parts.append(e.name)
+        elif hasattr(e, "idx"):  # SequenceKey
+            parts.append(str(e.idx))
+        else:
+            parts.append(str(e))
+    return "/".join(parts)
+
+
+def _flatten_paths(tree: Any):
+    """[(canonical_key, leaf)] in tree-flatten order."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [(_canon_path(path), leaf) for path, leaf in flat]
 
 
 # --- config-bundled model export (SavedModel analogue) ---

@@ -40,6 +40,11 @@ class VanGanConfig:
     BATCH_SIZE: int = 3  # per-device batch
     GLOBAL_BATCH_SIZE: Optional[int] = None  # derived: N_DEVICES * BATCH_SIZE
     PREFETCH_SIZE: int = 4
+    # host sampler threads per split (tf.data AUTOTUNE-parallelism analogue,
+    # dataset.py:62-104). 1 = the serial stream; >1 changes the sample stream
+    # (each worker owns an independently seeded sampler pair) but stays
+    # deterministic for a fixed (seed, DATA_WORKERS)
+    DATA_WORKERS: int = 1
     INITIAL_LR: float = 2e-4
     INITIATE_LR_DECAY: Optional[float] = None  # derived: 0.5 * EPOCHS
     NO_NOISE: Optional[int] = None  # derived: EPOCHS (epoch when disc noise hits 0)
@@ -79,6 +84,13 @@ class VanGanConfig:
     cldice_alpha: float = 0.5
     cycle_loss_I_type: str = "bce"  # vangan.py:302 (seg cycle)
     cycle_loss_S_type: str = "mse"  # vangan.py:306 (imaging cycle)
+    # identity loss: present-but-commented in the reference (vangan.py:310-312,
+    # README.md:21 "No identity loss"). Off by default = reference parity;
+    # when on, each term trains its OWN generator (see training/step.py note
+    # on the reference's swapped routing, which would be gradient-dead).
+    use_identity_loss: bool = False
+    identity_loss_IS_type: str = "cldice"  # gen_IS(real_S) term (vangan.py:312)
+    identity_loss_SI_type: str = "mae"  # gen_SI(real_I) term (vangan.py:311)
     layer_noise: float = 0.1  # vangan.py:76
 
     # --- data pipeline (dataset.py:48-49) ---

@@ -193,7 +193,7 @@ def _round_fwd(imgp: jnp.ndarray, skel: jnp.ndarray, xb: int, rounds: int,
         kernel,
         grid=(b, x // xb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, xb, y, z), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -282,7 +282,7 @@ def _round_bwd(img_p4, skel_p4, dimg_p4, dskel_p4, xb: int, yb: int,
     d_img, d_skel = pl.pallas_call(
         kernel,
         grid=(b, x // xb, y // yb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=[
             pl.BlockSpec((1, xb, yb, z), lambda bi, i, j: (bi, i, j, 0),
                          memory_space=pltpu.VMEM),

@@ -47,3 +47,7 @@ def fit(
             gan.save_checkpoint(epoch=epoch)
 
         summary.scalar("elapse", time.time() - start, epoch=epoch, training=True)
+
+    # saves are async (checkpoint.py); commit the last one before returning so
+    # post-training inference/epoch sweeps see a complete final checkpoint
+    gan.checkpointer.wait_until_finished()

@@ -48,6 +48,7 @@ from vangan_tpu.losses import (
     discriminator_loss_fn,
     generator_loss_fn,
     gradient_penalty,
+    identity_loss,
     wasserstein_discriminator_loss,
     wasserstein_generator_loss,
 )
@@ -182,7 +183,8 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         with the stop_gradient routing described in the module docstring.
         Returns (combined_scalar_loss, (result_dict, new_model_state))."""
         r = {name: jax.random.fold_in(rng, i) for i, name in enumerate(
-            ("gIS_a", "gSI_a", "gIS_b", "gSI_b", "dS_r", "dI_r", "dS_f", "dI_f", "gp_I", "gp_S")
+            ("gIS_a", "gSI_a", "gIS_b", "gSI_b", "dS_r", "dI_r", "dS_f", "dI_f", "gp_I", "gp_S",
+             "gIS_id", "gSI_id")
         )}
         new_ms = dict(model_state)
 
@@ -211,6 +213,30 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         seg_loss = cycle_seg_loss(scales, real_S, cycled_S)
         cycle_loss_S = cycle_loss(scales, real_I, cycled_I, typ=cfg.cycle_loss_S_type)
         reconstruction_loss = cycle_reconstruction(scales, real_I, cycled_I)
+
+        # Identity mapping (vangan.py:310-312, commented out there; cfg switch
+        # here, default off = reference parity). Term math matches the
+        # reference's commented lines exactly — id_IS = identity(real_S,
+        # gen_IS(real_S), 'cldice'); id_SI = identity(real_I, gen_SI(real_I),
+        # MAE) — but each is routed into its OWN generator's total: the
+        # commented composition adds id_SI (a gen_SI term) to total_loss_I,
+        # which is minimized w.r.t. gen_IS only, making both terms
+        # gradient-dead. Same swapped-naming quirk as the cycle losses
+        # (SURVEY §7); keep the math, fix the routing.
+        id_IS_loss = id_SI_loss = None
+        if getattr(cfg, "use_identity_loss", False):
+            same_S, new_ms["gen_IS"] = _apply(
+                models["gen_IS"], params["gen_IS"], new_ms["gen_IS"], real_S, train,
+                r["gIS_id"], remat=remat,
+            )
+            same_I, new_ms["gen_SI"] = _apply(
+                models["gen_SI"], params["gen_SI"], new_ms["gen_SI"], real_I, train,
+                r["gSI_id"], remat=remat,
+            )
+            typ_IS = None if cfg.identity_loss_IS_type == "mae" else cfg.identity_loss_IS_type
+            typ_SI = None if cfg.identity_loss_SI_type == "mae" else cfg.identity_loss_SI_type
+            id_IS_loss = identity_loss(scales, real_S, same_S, typ=typ_IS)
+            id_SI_loss = identity_loss(scales, real_I, same_I, typ=typ_SI)
 
         # Discriminator outputs (vangan.py:315-319). Each fake is judged twice
         # with IDENTICAL rngs: once with frozen D params (generator branch) and
@@ -241,6 +267,9 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
 
         total_loss_I = gen_IS_loss + cycle_loss_I + seg_loss
         total_loss_S = gen_SI_loss + cycle_loss_S + reconstruction_loss
+        if id_IS_loss is not None:
+            total_loss_I = total_loss_I + id_IS_loss
+            total_loss_S = total_loss_S + id_SI_loss
 
         disc_I_total, disc_S_total = disc_I_loss, disc_S_loss
         if cfg.wasserstein and gp_scale is not None:
@@ -274,6 +303,9 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
             "seg_loss": seg_loss,
             "reconstruction_loss_I": reconstruction_loss,
         }
+        if id_IS_loss is not None:
+            result["identity_IS_loss"] = id_IS_loss
+            result["identity_SI_loss"] = id_SI_loss
         combined = total_loss_I + total_loss_S + disc_I_total + disc_S_total
         return combined, (result, new_ms)
 

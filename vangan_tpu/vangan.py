@@ -167,8 +167,8 @@ class VanGan:
 
     def load_checkpoint(self, epoch: Optional[int] = None, expect_partial: bool = False,
                         newpath: Optional[str] = None) -> None:
-        del expect_partial  # orbax restores are always exact-structure
-        restored = self.checkpointer.load(self.state, epoch, newpath=newpath)
+        restored = self.checkpointer.load(self.state, epoch, newpath=newpath,
+                                          expect_partial=expect_partial)
         if restored is not None:
             self.state = put_replicated(restored, self.mesh)
             self._gen_batched.clear()
