@@ -77,16 +77,22 @@ def _load_reference_models():
         SpectralNormalization=lambda layer: layer,  # unused in tested configs
     )
 
+    import keras.backend as K
+
+    if not hasattr(K, "sum"):  # vnet_model imports utils -> needs the K shim
+        K.sum = tf.reduce_sum
+
     if REF not in sys.path:
         sys.path.insert(0, REF)
     import discriminator as ref_disc  # noqa: F401
     import resunet_model as ref_resunet  # noqa: F401
+    import vnet_model as ref_vnet  # noqa: F401
 
     assert ref_resunet.__file__.startswith(REF)
-    return ref_resunet, ref_disc
+    return ref_resunet, ref_disc, ref_vnet
 
 
-ref_resunet, ref_disc = _load_reference_models()
+ref_resunet, ref_disc, ref_vnet = _load_reference_models()
 
 
 def _by_creation(model, cls):
@@ -108,8 +114,9 @@ def _leaves(tree):
 class _Port:
     """Copies flax params into TF layers; randomises TF-only dead weights."""
 
-    def __init__(self, params, rng):
+    def __init__(self, params, rng, stats=None):
         self.p = _leaves(params)
+        self.s = _leaves(stats) if stats is not None else {}
         self.rng = rng
         self.used = set()
 
@@ -133,6 +140,24 @@ class _Port:
 
     def dense(self, layer, path):
         layer.set_weights([self.p[f"{path}['kernel']"], self.p[f"{path}['bias']"]])
+        self.used.update({f"{path}['kernel']", f"{path}['bias']"})
+
+    def bn(self, layer, path):
+        """Keras BatchNormalization [gamma, beta, moving_mean, moving_var]
+        from our params scale/bias + batch_stats mean/var."""
+        layer.set_weights([
+            self.p[f"{path}['scale']"], self.p[f"{path}['bias']"],
+            self.s[f"{path}['mean']"], self.s[f"{path}['var']"],
+        ])
+        self.used.update({f"{path}['scale']", f"{path}['bias']"})
+
+    def deconv(self, layer, path):
+        """TF Conv3DTranspose kernel is (k,k,k,out,in) and spatially FLIPPED
+        relative to flax ConvTranspose's (k,k,k,in,out) (verified
+        numerically: swap io + flip all spatial dims maps exactly)."""
+        kernel = self.p[f"{path}['kernel']"]
+        k_tf = np.transpose(kernel, (0, 1, 2, 4, 3))[::-1, ::-1, ::-1]
+        layer.set_weights([np.ascontiguousarray(k_tf), self.p[f"{path}['bias']"]])
         self.used.update({f"{path}['kernel']", f"{path}['bias']"})
 
     def assert_exhausted(self):
@@ -196,6 +221,35 @@ def _port_discriminator(tf_model, params, wasserstein, rng):
     port.assert_exhausted()
 
 
+def _port_vnet(tf_model, params, stats, num_layers, rng):
+    """Map our VNet3D params+batch_stats onto custom_vnet's layers
+    (vnet_model.py:149-268, VanGan config: use_batch_norm, 'deconv').
+
+    Creation order: per down layer {conv0, bn0, conv1, bn1}, bottleneck
+    {conv0, bn0, conv1, bn1}, per up layer {deconv, conv0, bn0, conv1, bn1},
+    head. Block convs are bias-free (use_bias=not use_batch_norm)."""
+    port = _Port(params, rng, stats=stats)
+    convs = iter(_by_creation(tf_model, tf.keras.layers.Conv3D))
+    deconvs = iter(_by_creation(tf_model, tf.keras.layers.Conv3DTranspose))
+    bns = iter(_by_creation(tf_model, tf.keras.layers.BatchNormalization))
+
+    def block(name):
+        for i in range(2):
+            port.conv(next(convs), f"['{name}']['conv{i}']", has_bias=False)
+            port.bn(next(bns), f"['{name}']['bn{i}']")
+
+    for d in range(num_layers):
+        block(f"down{d}")
+    block("bottleneck")
+    for u in range(num_layers):
+        port.deconv(next(deconvs), f"['deconv{u}']")
+        block(f"up{u}")
+    port.conv(next(convs), "['head']", has_bias=True)
+    assert next(convs, None) is None and next(bns, None) is None
+    assert next(deconvs, None) is None
+    port.assert_exhausted()
+
+
 class TestModelGolden:
     @pytest.mark.slow
     def test_resunet_forward_parity(self, rng):
@@ -215,6 +269,42 @@ class TestModelGolden:
         x = rng.normal(size=(2, size, size, size, 1)).astype(np.float32)
         variables = ours.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
         _port_resunet(tf_model, variables["params"], L, rng)
+
+        want = tf_model(tf.constant(x), training=False).numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+    @pytest.mark.slow
+    def test_vnet_forward_parity(self, rng):
+        """VanGan's V-Net config (vangan.py:134-148: BatchNorm act-then-norm,
+        'deconv' upsampling, tanh head) at 32^3, filters=4, num_layers=4.
+        BatchNorm moving statistics are RANDOMISED before porting so the
+        mean/var mapping is actually exercised (init 0/1 would hide a swap)."""
+        from vangan_tpu.models import VNet3D
+
+        size, f, L = 32, 4, 4
+        tf.keras.backend.clear_session()
+        tf_model = ref_vnet.custom_vnet(
+            (size, size, size, 1), activation="relu", use_batch_norm=True,
+            upsample_mode="deconv", dropout=0.5, dropout_type="spatial",
+            use_dropout_on_upsampling=False, use_attention_gate=False,
+            filters=f, num_layers=L, output_activation="tanh", addnoise=False,
+        )
+        ours = VNet3D(use_batch_norm=True, upsample_mode="deconv", dropout=0.5,
+                      dropout_type="spatial", filters=f, num_layers=L,
+                      output_activation="tanh", layout="NXYZC", dtype=jnp.float32)
+        x = rng.normal(size=(2, size, size, size, 1)).astype(np.float32)
+        variables = ours.init({"params": jax.random.PRNGKey(2)}, jnp.asarray(x), train=False)
+        variables = dict(variables)
+        stats = jax.tree_util.tree_map_with_path(
+            lambda p, v: (np.abs(rng.normal(size=v.shape)).astype(np.float32) + 0.5
+                          if "var" in jax.tree_util.keystr(p)
+                          else rng.normal(size=v.shape, scale=0.3).astype(np.float32)),
+            variables["batch_stats"],
+        )
+        variables["batch_stats"] = stats
+        _port_vnet(tf_model, variables["params"], stats, L, rng)
 
         want = tf_model(tf.constant(x), training=False).numpy()
         got = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))

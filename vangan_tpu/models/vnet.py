@@ -64,9 +64,12 @@ class VNetConvBlock(nn.Module):
             x = conv(x)
             x = nn.relu(x)  # activation precedes the norm (vnet_model.py:119-130)
             if self.use_batch_norm:
+                # epsilon matches Keras BatchNormalization's 1e-3 default
+                # (vnet_model.py:127 uses keras defaults; flax's is 1e-5)
                 x = nn.BatchNorm(
                     use_running_average=not train, axis=channel_axis(self.layout),
-                    dtype=self.dtype, param_dtype=jnp.float32, name=f"bn{i}",
+                    epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"bn{i}",
                 )(x)
             else:
                 x = InstanceNorm(layout=self.layout, dtype=self.dtype, name=f"in{i}")(x)
