@@ -216,9 +216,17 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
         )
 
     n_devices = len(jax.devices())
+    # batch >= 2 defaults to MICROBATCH gradient accumulation (round 5): the
+    # step runs per-micro at batch 1/chip — the measured-best remat-off
+    # config — with device-side grad accumulation and ONE optimizer apply,
+    # amortising the ~90 ms optimizer tail over the batch.
+    # VANGAN_BENCH_MICRO overrides for A/B (0/1 = old split path).
+    micro = int(os.environ.get(
+        "VANGAN_BENCH_MICRO", str(batch_per_chip if batch_per_chip >= 2 else 1)))
     cfg = VanGanConfig(
         N_DEVICES=n_devices,
         BATCH_SIZE=batch_per_chip,
+        micro_batches=max(1, micro),
         SUBVOL_PATCH_SIZE=(128, 128, 128),
         compute_dtype="bfloat16",
         # batch 3's monolithic module OOMs the remote compile helper; the
@@ -241,7 +249,7 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
         remat=(
             os.environ["VANGAN_BENCH_REMAT"] == "1"
             if os.environ.get("VANGAN_BENCH_REMAT") in ("0", "1")
-            else batch_per_chip >= 2
+            else (batch_per_chip >= 2 and max(1, micro) == 1)
         ),
         output_dir="/tmp/vg_bench",
         # manual arm for BASELINE config 4 (V-Net generator variant swapped
@@ -269,7 +277,12 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
         jnp.asarray((rng.uniform(size=(gb, 128, 128, 128, 1)) > 0.8) * 2.0 - 1.0, jnp.float32),
         mesh,
     )
-    if cfg.backward_mode == "split":
+    if cfg.micro_batches > 1:
+        from vangan_tpu.parallel import jit_microbatch_step
+
+        step = jit_microbatch_step(fns, mesh, cfg.micro_batches, donate=True,
+                                   axis_name=cfg.mesh_axis)
+    elif cfg.backward_mode == "split":
         from vangan_tpu.parallel import jit_split_step
 
         step = jit_split_step(fns, mesh, donate=True, axis_name=cfg.mesh_axis)
@@ -308,7 +321,9 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
             # must never be indistinguishable from the default config
             "config": {
                 "batch_per_chip": batch_per_chip,
-                "backward_mode": cfg.backward_mode,
+                "backward_mode": ("microbatch" if cfg.micro_batches > 1
+                                  else cfg.backward_mode),
+                "micro_batches": cfg.micro_batches,
                 "remat": bool(cfg.remat),
                 "generator": cfg.gen_i2s,
             },

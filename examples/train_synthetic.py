@@ -81,6 +81,9 @@ def main() -> None:
     ap.add_argument("--tubes", type=int, default=12)
     ap.add_argument("--filters", type=int, default=8)
     ap.add_argument("--disc-filters", type=int, default=16)
+    ap.add_argument("--gen", choices=["resUnet", "vnet", "resnet"], default="resUnet",
+                    help="generator family for BOTH directions (BASELINE "
+                         "config 4 = vnet; vangan.py:111-162)")
     ap.add_argument("--steps-per-epoch", type=int, default=None,
                     help="override steps/epoch (default: #volumes/batch)")
     ap.add_argument("--cldice-iters", type=int, default=5)
@@ -179,6 +182,8 @@ def main() -> None:
         SUBVOL_PATCH_SIZE=(args.patch,) * 3,
         gen_filters=args.filters,
         disc_filters=args.disc_filters,
+        gen_i2s=args.gen,
+        gen_s2i=args.gen,
         cldice_iters=args.cldice_iters,
         PERIOD_2D_CALLBACK=2,
         train_steps=args.steps_per_epoch,
@@ -238,7 +243,9 @@ def main() -> None:
         with open(args.results_md, "a") as f:
             f.write(
                 f"| {datetime.date.today()} | vol={tuple(args.vol_shape)} x{args.volumes} "
-                f"| patch={args.patch} f={args.filters} | epochs={args.epochs} "
+                f"| patch={args.patch} f={args.filters}"
+                f"{'' if args.gen == 'resUnet' else ' gen=' + args.gen}"
+                f" | epochs={args.epochs} "
                 f"steps/ep={args.steps_per_epoch or 'auto'} seed={args.seed} "
                 f"| {mean_d:.3f} | {mean_c:.3f} |\n"
             )

@@ -108,6 +108,16 @@ class VanGanConfig:
 
     # --- TPU-native knobs (new; no reference equivalent) ---
     seed: int = 0
+    # Gradient accumulation: split each device step into `micro_batches`
+    # sequential microbatches (BATCH_SIZE % micro_batches == 0) with
+    # device-side grad accumulation and ONE optimizer apply. Peak activation
+    # memory drops to one microbatch's (remat can stay off at 128^3), and the
+    # optimizer amortises over the batch. Loss semantics: per-sample losses
+    # and the axis=None quirk scales are EXACT; clDice is evaluated per
+    # micro-shard — the reference's own distributed convention at
+    # N_DEVICES x micro_batches replicas (loss_functions.py:226). See
+    # training/step.py and parallel.jit_microbatch_step.
+    micro_batches: int = 1
     compute_dtype: str = "bfloat16"  # conv compute dtype; params always float32
     # Activation layout: 'NXCYZ' (the TPU layout engine — sublanes=Y, lanes=Z,
     # channels outer; Pallas conv kernels, zero lane padding at any channel
@@ -157,6 +167,11 @@ class VanGanConfig:
             self.NO_NOISE = self.EPOCHS
         if self.cldice_groups is None:
             self.cldice_groups = self.N_DEVICES
+        if self.micro_batches > 1 and self.BATCH_SIZE % self.micro_batches:
+            raise ValueError(
+                f"BATCH_SIZE ({self.BATCH_SIZE}) must divide into "
+                f"micro_batches ({self.micro_batches})"
+            )
         self.RAW_IMG_SIZE = tuple(self.RAW_IMG_SIZE)
         self.TARG_RAW_IMG_SIZE = tuple(self.TARG_RAW_IMG_SIZE)
         self.SYNTH_IMG_SIZE = tuple(self.SYNTH_IMG_SIZE)

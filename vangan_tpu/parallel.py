@@ -70,6 +70,66 @@ def jit_train_step(fns, mesh: Mesh, donate: bool = True, axis_name: str = "data"
     )
 
 
+def jit_microbatch_step(fns, mesh: Mesh, micro: int, donate: bool = True,
+                        axis_name: str = "data"):
+    """Gradient-accumulation train step (cfg.micro_batches = ``micro`` > 1).
+
+    Each global batch is split into ``micro`` interleaved slices
+    (``x[m::micro]`` keeps every slice shard-aligned on the data mesh); the
+    split-module grad programs run once per slice at the micro shapes with
+    device-side gradient/result accumulation, then ONE optimizer apply.
+
+    Why: at 128^3 the per-network activations of a batch>=2 step do not fit
+    HBM without remat (docs/PERF.md round-3) — microbatching keeps the
+    measured-best batch-1 remat-off peak while amortising the ~90 ms
+    optimizer+schedule tail over the whole batch, and reuses the split
+    modules (each stays under the remote compile helper's ceiling).
+
+    Loss semantics: see training/step.py (micro grads are built at per-micro
+    scales; summed results reproduce the full-batch loss dict exactly for
+    every term except clDice, which evaluates per micro-shard — the
+    reference's own distributed convention at N_DEVICES x micro replicas).
+    """
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh, axis_name)
+    gsh = (repl, repl, repl, bsh, bsh, repl, repl)
+    g1 = jax.jit(fns.grad_gens_micro, in_shardings=gsh,
+                 out_shardings=(repl, repl, repl))
+    g2 = jax.jit(fns.grad_discs_micro, in_shardings=gsh, out_shardings=repl)
+    acc = jax.jit(
+        lambda a, b: jax.tree_util.tree_map(jax.numpy.add, a, b),
+        donate_argnums=(0,),
+    )
+    app = jax.jit(
+        fns.apply_grads,
+        in_shardings=(repl, repl, repl, repl),
+        out_shardings=repl,
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+    def step(state, real_I, real_S, rng, noise_std, update_gen):
+        grads = result = new_ms = None
+        for m in range(micro):
+            xI, xS = real_I[m::micro], real_S[m::micro]
+            r = jax.random.fold_in(rng, m)
+            gg, res, ms = g1(state.params, state.model_state, state.step,
+                             xI, xS, r, noise_std)
+            gd = g2(state.params, state.model_state, state.step, xI, xS, r, noise_std)
+            g = {**gg, **gd}
+            if grads is None:
+                grads, result, new_ms = g, res, ms
+            else:
+                grads = acc(grads, g)
+                result = acc(result, res)
+                # mutable collections (BatchNorm stats): keep the first
+                # micro's update — each micro updates from the same input
+                # state, so any single micro's is a valid batch-mb update
+        new_state = app(state, grads, new_ms, update_gen)
+        return new_state, result
+
+    return step
+
+
 def jit_test_step(fns, mesh: Mesh, axis_name: str = "data"):
     repl = replicated(mesh)
     bsh = batch_sharding(mesh, axis_name)

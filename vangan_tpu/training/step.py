@@ -78,6 +78,10 @@ class TrainStepFns:
     grad_gens: Optional[Callable] = None
     grad_discs: Optional[Callable] = None
     apply_grads: Optional[Callable] = None
+    # split-module grads at per-micro loss scales (cfg.micro_batches > 1);
+    # consumed by parallel.jit_microbatch_step
+    grad_gens_micro: Optional[Callable] = None
+    grad_discs_micro: Optional[Callable] = None
 
 
 def _apply(model, params, model_state, x, train, rng, remat=False, **kwargs):
@@ -178,6 +182,7 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         noise_std: jnp.ndarray,
         train: bool,
         gp_scale: Optional[jnp.ndarray] = None,
+        scales: LossScales = scales,  # microbatch grads pass adjusted scales
     ):
         """One shared forward of the full CycleGAN graph (vangan.py:270-353),
         with the stop_gradient routing described in the module docstring.
@@ -418,14 +423,15 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
             return None
         return jnp.where(step > 0, cfg.gp_weight, 0.0)
 
-    def _group_grad(group, first):
+    def _group_grad(group, first, use_scales=scales):
         def fn(params, model_state, step, real_I, real_S, rng, noise_std):
             step_rng = jax.random.fold_in(rng, step)
 
             def loss_for(sub):
                 full = {**params, **{n: sub[n] for n in group}}
                 return compute_losses(full, model_state, real_I, real_S, step_rng,
-                                      noise_std, True, _gp_scale(step))
+                                      noise_std, True, _gp_scale(step),
+                                      scales=use_scales)
 
             sub = {n: params[n] for n in group}
             if first:
@@ -437,6 +443,29 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
 
     grad_gens = _group_grad(("gen_IS", "gen_SI"), first=True)
     grad_discs = _group_grad(("disc_I", "disc_S"), first=False)
+
+    # --- microbatch grads (cfg.micro_batches > 1): the split-module grads at
+    # per-micro scales. Per-sample losses and the axis=None quirk stay EXACT
+    # when the accumulated micro values are summed (each micro divides by the
+    # full GLOBAL_BATCH; the n_devices/micro factor makes the summed
+    # reduce_mean_overall quirk come out identical because equal micros
+    # partition the batch). clDice evaluates per micro-shard with
+    # lambda/micro — the reference's own distributed convention at
+    # N_DEVICES x micro replicas (loss_functions.py:226).
+    micro = int(getattr(cfg, "micro_batches", 1) or 1)
+    grad_gens_micro = grad_discs_micro = None
+    if micro > 1:
+        import dataclasses
+
+        micro_scales = dataclasses.replace(
+            scales,
+            n_devices=cfg.N_DEVICES / micro,
+            lambda_topology=cfg.lambda_topology / micro,
+        )
+        grad_gens_micro = _group_grad(("gen_IS", "gen_SI"), first=True,
+                                      use_scales=micro_scales)
+        grad_discs_micro = _group_grad(("disc_I", "disc_S"), first=False,
+                                       use_scales=micro_scales)
 
     def apply_grads(
         state: VanGanState, grads: Dict[str, Params], new_ms, update_gen: jnp.ndarray
@@ -466,4 +495,5 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
     return TrainStepFns(
         init=init, train_step=train_step, test_step=test_step, compute_losses=compute_losses,
         grad_gens=grad_gens, grad_discs=grad_discs, apply_grads=apply_grads,
+        grad_gens_micro=grad_gens_micro, grad_discs_micro=grad_discs_micro,
     )

@@ -24,6 +24,7 @@ from vangan_tpu.config import VanGanConfig
 from vangan_tpu.models.factory import build_discriminator, build_generator
 from vangan_tpu.parallel import (
     batch_sharding,
+    jit_microbatch_step,
     jit_split_step,
     jit_test_step,
     jit_train_step,
@@ -78,7 +79,11 @@ class VanGan:
         self.fns = make_step_fns(cfg, self.models, self.steps_per_epoch)
 
         self.mesh = mesh if mesh is not None else make_mesh(cfg.N_DEVICES, cfg.mesh_axis)
-        if cfg.backward_mode == "split":
+        if getattr(cfg, "micro_batches", 1) > 1:
+            self._train_step = jit_microbatch_step(
+                self.fns, self.mesh, cfg.micro_batches, donate=cfg.donate_state,
+                axis_name=cfg.mesh_axis)
+        elif cfg.backward_mode == "split":
             self._train_step = jit_split_step(self.fns, self.mesh, donate=cfg.donate_state,
                                               axis_name=cfg.mesh_axis)
         else:
