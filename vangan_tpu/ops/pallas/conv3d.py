@@ -541,15 +541,15 @@ def _plan_blocks(xo_dim, yo_dim, k, stride, ci, co, zp, itemsize, form_b=False):
     """(xb, yb): bigger y blocks amortise per-block DMA latency (measured 21%
     at yb=16 on the 16ch 128^3 conv; no further gain at 32) unless they starve
     the x block below 4."""
-    # default 8: yb=16 kernels are ~20% faster standalone but their larger
-    # Mosaic compile footprint OOMs the remote compile helper when the full
-    # train-step module (~40 kernels) compiles in one process. Budget
-    # arithmetic: the helper peaks ~2 GB/kernel at yb=8 (xo-unrolled body
-    # size doubles with yb since the per-xo tap stack doubles); ~40 kernels
-    # compile in one helper process whose cgroup limit is ~16 GB — yb=16
-    # tripped it (SIGKILL, round 2), yb=8 leaves ~2x headroom. Raise only
-    # with backward_mode='split' (3 smaller modules) after measuring.
-    yb_max = int(os.environ.get("VANGAN_CONV_YB_MAX", "8"))
+    # default 16 (round 5): yb=16 kernels are ~20% faster standalone and the
+    # step-level A/B measured +3.3% at batch 1 (1.607 -> 1.660 patches/s,
+    # two_phase remat-off) and +3.1% at batch 3 (1.586 -> 1.635, microbatch)
+    # with clean compiles — the round-2 compile-helper OOM that forced yb=8
+    # no longer reproduces on the round-4/5 kernel bodies (the chain-fusion
+    # removal and split/microbatch modules shrank the per-process footprint).
+    # VANGAN_CONV_YB_MAX=8 restores the old plan for A/B; on-chip value
+    # parity between the two is gated in tests/test_pallas_tpu.py.
+    yb_max = int(os.environ.get("VANGAN_CONV_YB_MAX", "16"))
     sy = stride[1]
     for yb in (16, 8):
         if yb > yb_max:
