@@ -246,10 +246,13 @@ def run_one(batch_per_chip: int, force_fail: bool = False) -> None:
         # chip-tested 2026-08-19 and OOMs HBM on the decoder's 48-ch concat
         # tensors — remat stays required at batch >= 2;
         # docs/BENCH_SESSION_r3.md.)
+        # default remat keys off the PER-MICRO per-chip batch: each micro's
+        # activations are what must fit HBM, so e.g. VANGAN_BENCH_MICRO=2
+        # --batch 4 (2 patches per micro) still needs remat on.
         remat=(
             os.environ["VANGAN_BENCH_REMAT"] == "1"
             if os.environ.get("VANGAN_BENCH_REMAT") in ("0", "1")
-            else (batch_per_chip >= 2 and max(1, micro) == 1)
+            else (batch_per_chip // max(1, micro)) >= 2
         ),
         output_dir="/tmp/vg_bench",
         # manual arm for BASELINE config 4 (V-Net generator variant swapped

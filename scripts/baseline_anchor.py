@@ -23,7 +23,6 @@ import json
 import os
 import sys
 import time
-import types
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")  # never contend for the chip
 
@@ -35,50 +34,16 @@ import numpy as np  # noqa: E402
 
 
 def _install_shims():
-    """Import-only shims for the reference modules (mirrors
-    tests/test_model_golden.py / test_reference_golden.py)."""
+    """Import-only shims for the reference modules — shared with
+    tests/test_model_golden.py via tests/tf_ref_shims.py so the reference
+    semantics (tfa InstanceNormalization epsilon, K.sum, Reduction) cannot
+    drift between the anchor and the golden-parity tests."""
     import tensorflow as tf
 
-    class InstanceNormalization(tf.keras.layers.Layer):
-        """tfa.layers.InstanceNormalization semantics (eps 1e-3)."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from tf_ref_shims import install_ref_shims
 
-        def __init__(self, gamma_initializer=None, **kwargs):
-            super().__init__(**kwargs)
-            self._gamma_init = gamma_initializer or "ones"
-
-        def build(self, input_shape):
-            c = int(input_shape[-1])
-            self.gamma = self.add_weight(name="gamma", shape=(c,),
-                                         initializer=self._gamma_init)
-            self.beta = self.add_weight(name="beta", shape=(c,), initializer="zeros")
-
-        def call(self, x):
-            axes = list(range(1, len(x.shape) - 1))
-            mean = tf.reduce_mean(x, axis=axes, keepdims=True)
-            var = tf.reduce_mean(tf.square(x - mean), axis=axes, keepdims=True)
-            return self.gamma * (x - mean) * tf.math.rsqrt(var + 1e-3) + self.beta
-
-    for name in ("skimage", "skimage.io", "skimage.exposure"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            sys.modules[name] = mod
-    sys.modules["skimage"].io = sys.modules["skimage.io"]
-    sys.modules["skimage"].exposure = sys.modules["skimage.exposure"]
-    tfa = types.ModuleType("tensorflow_addons")
-    tfa.layers = types.SimpleNamespace(
-        InstanceNormalization=InstanceNormalization,
-        SpectralNormalization=lambda layer: layer,
-    )
-    sys.modules["tensorflow_addons"] = tfa
-
-    import keras.backend as K
-
-    if not hasattr(K, "sum"):
-        K.sum = tf.reduce_sum
-    if not hasattr(tf.keras.losses, "Reduction"):
-        tf.keras.losses.Reduction = types.SimpleNamespace(NONE="none")
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    install_ref_shims(tf)
 
 
 def time_reference_tf(size: int, batch: int, steps: int, filters: int) -> dict:

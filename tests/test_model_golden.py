@@ -20,8 +20,6 @@ order — the same order our flax modules declare their submodules in.
 from __future__ import annotations
 
 import re
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -33,57 +31,17 @@ import jax.numpy as jnp  # noqa: E402
 
 REF = "/root/reference"
 
+# shared with scripts/baseline_anchor.py — the reference-semantics shims
+# (tfa InstanceNormalization epsilon=1e-3, import stubs) live in ONE place
+from tf_ref_shims import install_ref_shims  # noqa: E402
 
-class InstanceNormalization(tf.keras.layers.Layer):
-    """tfa.layers.InstanceNormalization semantics (per-sample per-channel
-    normalisation over spatial axes, epsilon=1e-3, learned gamma/beta) —
-    tfa is unavailable here, so the 8-line layer is reconstructed from its
-    documented definition (GroupNormalization with groups=channels)."""
-
-    def __init__(self, gamma_initializer=None, **kwargs):
-        super().__init__(**kwargs)
-        self._gamma_init = gamma_initializer or "ones"
-
-    def build(self, input_shape):
-        c = int(input_shape[-1])
-        self.gamma = self.add_weight(name="gamma", shape=(c,), initializer=self._gamma_init)
-        self.beta = self.add_weight(name="beta", shape=(c,), initializer="zeros")
-
-    def call(self, x):
-        axes = list(range(1, len(x.shape) - 1))
-        mean = tf.reduce_mean(x, axis=axes, keepdims=True)
-        var = tf.reduce_mean(tf.square(x - mean), axis=axes, keepdims=True)
-        return self.gamma * (x - mean) * tf.math.rsqrt(var + 1e-3) + self.beta
+InstanceNormalization = install_ref_shims(tf)
 
 
 def _load_reference_models():
-    """Import the reference model modules with import-only shims (the same
-    machinery as test_reference_golden.py, plus a functional tfa.layers)."""
-    for name in ("skimage", "skimage.io", "skimage.exposure"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            mod.__vangan_golden_stub__ = True
-            sys.modules[name] = mod
-    sys.modules["skimage"].io = sys.modules["skimage.io"]
-    sys.modules["skimage"].exposure = sys.modules["skimage.exposure"]
-
-    tfa = sys.modules.get("tensorflow_addons")
-    if tfa is None:
-        tfa = types.ModuleType("tensorflow_addons")
-        tfa.__vangan_golden_stub__ = True
-        sys.modules["tensorflow_addons"] = tfa
-    tfa.layers = types.SimpleNamespace(
-        InstanceNormalization=InstanceNormalization,
-        SpectralNormalization=lambda layer: layer,  # unused in tested configs
-    )
-
-    import keras.backend as K
-
-    if not hasattr(K, "sum"):  # vnet_model imports utils -> needs the K shim
-        K.sum = tf.reduce_sum
-
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    """Import the reference model modules (shims already installed above;
+    same machinery as test_reference_golden.py plus a functional
+    tfa.layers — see tests/tf_ref_shims.py)."""
     import discriminator as ref_disc  # noqa: F401
     import resunet_model as ref_resunet  # noqa: F401
     import vnet_model as ref_vnet  # noqa: F401

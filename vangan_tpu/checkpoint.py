@@ -65,8 +65,10 @@ class VanGanCheckpointer:
         ``expect_partial`` mirrors tf.train.Checkpoint semantics honestly:
         False (default) requires the stored tree to match ``template``
         exactly and errors loudly listing the mismatched paths; True merges
-        the intersection (matching shape+dtype leaves restored, the rest of
-        the template kept) and reports what was skipped.
+        the intersection — shape-matching leaves are restored (value-cast to
+        the template dtype when dtypes differ, the bf16/f32 compute-dtype
+        resume case), shape-MISmatching leaves keep template values — and
+        reports what was skipped.
         """
         path = self._path(epoch, newpath)
         print(f"Trying to load checkpoint from path: {path}")

@@ -169,8 +169,8 @@ class VanGanConfig:
             self.cldice_groups = self.N_DEVICES
         if self.micro_batches > 1 and self.BATCH_SIZE % self.micro_batches:
             raise ValueError(
-                f"BATCH_SIZE ({self.BATCH_SIZE}) must divide into "
-                f"micro_batches ({self.micro_batches})"
+                f"micro_batches ({self.micro_batches}) must divide "
+                f"BATCH_SIZE ({self.BATCH_SIZE})"
             )
         self.RAW_IMG_SIZE = tuple(self.RAW_IMG_SIZE)
         self.TARG_RAW_IMG_SIZE = tuple(self.TARG_RAW_IMG_SIZE)

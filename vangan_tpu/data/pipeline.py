@@ -254,6 +254,10 @@ class VanGanDataset:
         and NumPy crop/augment release the GIL, so threads overlap the random
         reads + rejection retries that serialised the reference-shaped path.
         """
+        # slot assignment i % workers only ever reads queues 0..gb-1: surplus
+        # workers would fill queues nobody drains (and a poison pill from one
+        # would never surface) — clamp instead of spinning them
+        workers = min(workers, gb)
         stop = self._stop
         per_q = max(2, (2 * gb + workers - 1) // workers)
         qs: list = [queue.Queue(maxsize=per_q) for _ in range(workers)]

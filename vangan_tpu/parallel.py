@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -107,8 +108,23 @@ def jit_microbatch_step(fns, mesh: Mesh, micro: int, donate: bool = True,
         donate_argnums=(0, 1) if donate else (),
     )
 
+    def _avg_leaf(*xs):
+        # mutable collections (BatchNorm moving stats): every micro updates
+        # from the SAME input state, so averaging the per-micro EMA results
+        # averages the per-micro batch statistics — the batch mean is exact
+        # (mean of equal-sized micro means) and the variance is the
+        # within-micro average, far closer to the full-batch-3 statistics
+        # the reference computes than any single micro-slice's. Non-float
+        # leaves (none today) keep the first micro's value.
+        if jnp.issubdtype(jnp.asarray(xs[0]).dtype, jnp.inexact):
+            return sum(xs[1:], start=xs[0]) / len(xs)
+        return xs[0]
+
+    avg_ms = jax.jit(lambda *ts: jax.tree_util.tree_map(_avg_leaf, *ts))
+
     def step(state, real_I, real_S, rng, noise_std, update_gen):
-        grads = result = new_ms = None
+        grads = result = None
+        mss = []  # per-micro mutable-collection updates (BN stats: tiny)
         for m in range(micro):
             xI, xS = real_I[m::micro], real_S[m::micro]
             r = jax.random.fold_in(rng, m)
@@ -116,14 +132,13 @@ def jit_microbatch_step(fns, mesh: Mesh, micro: int, donate: bool = True,
                              xI, xS, r, noise_std)
             gd = g2(state.params, state.model_state, state.step, xI, xS, r, noise_std)
             g = {**gg, **gd}
+            mss.append(ms)
             if grads is None:
-                grads, result, new_ms = g, res, ms
+                grads, result = g, res
             else:
                 grads = acc(grads, g)
                 result = acc(result, res)
-                # mutable collections (BatchNorm stats): keep the first
-                # micro's update — each micro updates from the same input
-                # state, so any single micro's is a valid batch-mb update
+        new_ms = mss[0] if micro == 1 else avg_ms(*mss)
         new_state = app(state, grads, new_ms, update_gen)
         return new_state, result
 
