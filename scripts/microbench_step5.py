@@ -77,13 +77,17 @@ def main():
     t = timed(lambda: g1(state.params, state.model_state, step_i, real_I, real_S,
                          key, noise))
     print(f"grad_gens module (fwd + gen backward): {t:.1f} ms", flush=True)
-    gg, res, ms = g1(state.params, state.model_state, step_i, real_I, real_S, key, noise)
+    gg, res, ms, fakes = g1(state.params, state.model_state, step_i, real_I, real_S,
+                            key, noise)
 
     g2 = jax.jit(fns.grad_discs)
     t = timed(lambda: g2(state.params, state.model_state, step_i, real_I, real_S,
                          key, noise))
-    print(f"grad_discs module (fwd + disc backward): {t:.1f} ms", flush=True)
-    gd = g2(state.params, state.model_state, step_i, real_I, real_S, key, noise)
+    print(f"grad_discs module RECOMPUTING fakes: {t:.1f} ms", flush=True)
+    t = timed(lambda: g2(state.params, state.model_state, step_i, real_I, real_S,
+                         key, noise, fakes))
+    print(f"grad_discs module with fakes passed in: {t:.1f} ms", flush=True)
+    gd = g2(state.params, state.model_state, step_i, real_I, real_S, key, noise, fakes)
 
     grads = {**gg, **gd}
     upd = jnp.asarray(True)

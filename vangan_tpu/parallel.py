@@ -95,8 +95,9 @@ def jit_microbatch_step(fns, mesh: Mesh, micro: int, donate: bool = True,
     bsh = batch_sharding(mesh, axis_name)
     gsh = (repl, repl, repl, bsh, bsh, repl, repl)
     g1 = jax.jit(fns.grad_gens_micro, in_shardings=gsh,
-                 out_shardings=(repl, repl, repl))
-    g2 = jax.jit(fns.grad_discs_micro, in_shardings=gsh, out_shardings=repl)
+                 out_shardings=(repl, repl, repl, (bsh, bsh)))
+    g2 = jax.jit(fns.grad_discs_micro, in_shardings=(*gsh, (bsh, bsh)),
+                 out_shardings=repl)
     acc = jax.jit(
         lambda a, b: jax.tree_util.tree_map(jax.numpy.add, a, b),
         donate_argnums=(0,),
@@ -128,9 +129,10 @@ def jit_microbatch_step(fns, mesh: Mesh, micro: int, donate: bool = True,
         for m in range(micro):
             xI, xS = real_I[m::micro], real_S[m::micro]
             r = jax.random.fold_in(rng, m)
-            gg, res, ms = g1(state.params, state.model_state, state.step,
-                             xI, xS, r, noise_std)
-            gd = g2(state.params, state.model_state, state.step, xI, xS, r, noise_std)
+            gg, res, ms, fakes = g1(state.params, state.model_state, state.step,
+                                    xI, xS, r, noise_std)
+            gd = g2(state.params, state.model_state, state.step, xI, xS, r, noise_std,
+                    fakes)
             g = {**gg, **gd}
             mss.append(ms)
             if grads is None:
@@ -166,8 +168,12 @@ def jit_split_step(fns, mesh: Mesh, donate: bool = True, axis_name: str = "data"
     repl = replicated(mesh)
     bsh = batch_sharding(mesh, axis_name)
     gsh = (repl, repl, repl, bsh, bsh, repl, repl)
-    g1 = jax.jit(fns.grad_gens, in_shardings=gsh, out_shardings=(repl, repl, repl))
-    g2 = jax.jit(fns.grad_discs, in_shardings=gsh, out_shardings=repl)
+    # the gens module hands its translated fakes (batch-sharded like the
+    # inputs) to the disc module, whose forward then contains only the four
+    # discriminator applications (training/step.py compute_losses docstring)
+    g1 = jax.jit(fns.grad_gens, in_shardings=gsh,
+                 out_shardings=(repl, repl, repl, (bsh, bsh)))
+    g2 = jax.jit(fns.grad_discs, in_shardings=(*gsh, (bsh, bsh)), out_shardings=repl)
     app = jax.jit(
         fns.apply_grads,
         in_shardings=(repl, repl, repl, repl),
@@ -176,10 +182,10 @@ def jit_split_step(fns, mesh: Mesh, donate: bool = True, axis_name: str = "data"
     )
 
     def step(state, real_I, real_S, rng, noise_std, update_gen):
-        gg, result, new_ms = g1(state.params, state.model_state, state.step,
-                                real_I, real_S, rng, noise_std)
+        gg, result, new_ms, fakes = g1(state.params, state.model_state, state.step,
+                                       real_I, real_S, rng, noise_std)
         gd = g2(state.params, state.model_state, state.step,
-                real_I, real_S, rng, noise_std)
+                real_I, real_S, rng, noise_std, fakes)
         new_state = app(state, {**gg, **gd}, new_ms, update_gen)
         return new_state, result
 

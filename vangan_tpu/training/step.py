@@ -183,10 +183,28 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         train: bool,
         gp_scale: Optional[jnp.ndarray] = None,
         scales: LossScales = scales,  # microbatch grads pass adjusted scales
+        fakes: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        return_fakes: bool = False,
     ):
         """One shared forward of the full CycleGAN graph (vangan.py:270-353),
         with the stop_gradient routing described in the module docstring.
-        Returns (combined_scalar_loss, (result_dict, new_model_state))."""
+        Returns (combined_scalar_loss, (result_dict, new_model_state)) —
+        plus the translated fakes in the aux when ``return_fakes``.
+
+        ``fakes=(fake_I, fake_S)`` substitutes precomputed translations for
+        the two leading generator applications. ONLY valid for a pull whose
+        gradient subtree is disc-only: the disc branch consumes
+        ``stop_gradient(fake)`` (as the reference's ``minimize(var_list=disc
+        vars)`` discards generator gradients, vangan.py:433-438), so
+        substituting the identical values — same params, same per-step RNGs —
+        changes nothing semantically but lets XLA drop the duplicated
+        generator forward from the disc gradient module (measured ~100 ms of
+        the 128^3 step, docs/PERF.md round-5). A generator pull must NOT pass
+        ``fakes``: its gradient flows *through* the fake computation. The
+        aux model_state in a ``fakes`` pull is partial (the skipped
+        applications contribute no updates) — callers discard it (only the
+        first, fakes-free pull materialises state).
+        """
         r = {name: jax.random.fold_in(rng, i) for i, name in enumerate(
             ("gIS_a", "gSI_a", "gIS_b", "gSI_b", "dS_r", "dI_r", "dS_f", "dI_f", "gp_I", "gp_S",
              "gIS_id", "gSI_id")
@@ -195,14 +213,17 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
 
         # A -> B, B -> A (vangan.py:295-297)
         remat = bool(getattr(cfg, "remat", True)) and train
-        fake_S, new_ms["gen_IS"] = _apply(
-            models["gen_IS"], params["gen_IS"], model_state["gen_IS"], real_I, train, r["gIS_a"],
-            remat=remat,
-        )
-        fake_I, new_ms["gen_SI"] = _apply(
-            models["gen_SI"], params["gen_SI"], model_state["gen_SI"], real_S, train, r["gSI_a"],
-            remat=remat,
-        )
+        if fakes is not None:
+            fake_I, fake_S = fakes
+        else:
+            fake_S, new_ms["gen_IS"] = _apply(
+                models["gen_IS"], params["gen_IS"], model_state["gen_IS"], real_I, train,
+                r["gIS_a"], remat=remat,
+            )
+            fake_I, new_ms["gen_SI"] = _apply(
+                models["gen_SI"], params["gen_SI"], model_state["gen_SI"], real_S, train,
+                r["gSI_a"], remat=remat,
+            )
 
         # Cycles (vangan.py:300-308); inner-generator output stopped.
         cycled_S, new_ms["gen_IS"] = _apply(
@@ -312,6 +333,8 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
             result["identity_IS_loss"] = id_IS_loss
             result["identity_SI_loss"] = id_SI_loss
         combined = total_loss_I + total_loss_S + disc_I_total + disc_S_total
+        if return_fakes:
+            return combined, (result, new_ms, (fake_I, fake_S))
         return combined, (result, new_ms)
 
     def train_step(
@@ -363,24 +386,31 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
             # 'two_phase' (gens | discs) is the default sweet spot.
             grads = {}
             carrier = state.params
-            result = new_ms = None
+            result = new_ms = fakes = None
             for group in groups:
+                # disc-only pulls reuse the first pull's fakes: their loss
+                # consumes stop_gradient(fake), so the identical values let
+                # DCE drop the duplicated generator forward (compute_losses
+                # docstring; gen pulls must recompute — grads flow through)
+                disc_only = fakes is not None and all(n.startswith("disc") for n in group)
 
-                def loss_for(sub, carrier=carrier, group=group):
+                def loss_for(sub, carrier=carrier, group=group,
+                             use_fakes=(fakes if disc_only else None)):
                     full = {**carrier, **{n: sub[n] for n in group}}
                     return compute_losses(full, state.model_state, real_I, real_S, step_rng,
-                                          noise_std, True, gp_scale)
+                                          noise_std, True, gp_scale,
+                                          fakes=use_fakes, return_fakes=use_fakes is None)
 
                 sub_params = {n: carrier[n] for n in group}
                 if result is None:
                     # only the first pull materialises the loss dict / model
                     # state; later pulls return just the scalar so DCE prunes
                     # every forward path not feeding this group's gradient
-                    g, (result, new_ms) = jax.grad(loss_for, has_aux=True)(sub_params)
+                    g, (result, new_ms, fakes) = jax.grad(loss_for, has_aux=True)(sub_params)
                 else:
                     g = jax.grad(lambda s: loss_for(s)[0])(sub_params)
                 grads.update(g)
-                carrier, _ = jax.lax.optimization_barrier((carrier, g))
+                carrier, _, fakes = jax.lax.optimization_barrier((carrier, g, fakes))
 
         new_params, new_opt = {}, {}
         for name in NETWORKS:
@@ -424,19 +454,27 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
         return jnp.where(step > 0, cfg.gp_weight, 0.0)
 
     def _group_grad(group, first, use_scales=scales):
-        def fn(params, model_state, step, real_I, real_S, rng, noise_std):
+        disc_only = all(n.startswith("disc") for n in group)
+
+        def fn(params, model_state, step, real_I, real_S, rng, noise_std, fakes=None):
             step_rng = jax.random.fold_in(rng, step)
+            use_fakes = fakes if disc_only else None
 
             def loss_for(sub):
                 full = {**params, **{n: sub[n] for n in group}}
                 return compute_losses(full, model_state, real_I, real_S, step_rng,
                                       noise_std, True, _gp_scale(step),
-                                      scales=use_scales)
+                                      scales=use_scales,
+                                      fakes=use_fakes, return_fakes=first)
 
             sub = {n: params[n] for n in group}
             if first:
-                g, (result, new_ms) = jax.grad(loss_for, has_aux=True)(sub)
-                return g, result, new_ms
+                # the first pull also hands back the translated fakes so the
+                # disc-only module can skip the generator forward entirely
+                # (identical values by construction — same params, same
+                # step_rng; see compute_losses docstring)
+                g, (result, new_ms, fk) = jax.grad(loss_for, has_aux=True)(sub)
+                return g, result, new_ms, fk
             return jax.grad(lambda s: loss_for(s)[0])(sub)
 
         return fn
