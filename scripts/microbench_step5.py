@@ -96,7 +96,6 @@ def main():
     print(f"apply_grads (4x Adam flat + clip + gate): {t:.1f} ms", flush=True)
 
     step = jit_train_step(fns, mesh, donate=False, axis_name=cfg.mesh_axis)
-    t0 = None
     new_state, result = step(state, real_I, real_S, key, noise, upd)
     float(result["total_IS_loss"])
     t0 = time.perf_counter()

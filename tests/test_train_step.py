@@ -517,9 +517,11 @@ class TestFakesReuse:
 
     @pytest.mark.quick
     def test_fakes_match_standalone_generator_apply(self):
-        """The aux fakes are the actual translations (not stale/permuted)."""
+        """The aux fakes ARE the translations gen_IS(real_I) / gen_SI(real_S)
+        — not stale, permuted, or from a later (cycled) application. Uses
+        deterministic models so a direct flax apply reproduces them exactly."""
         cfg = tiny_cfg(BATCH_SIZE=1)
-        models = tiny_models()
+        models = tiny_models()  # deterministic: no dropout/noise rng influence
         fns = make_step_fns(cfg, models, steps_per_epoch=10)
         state = fns.init(jax.random.PRNGKey(0))
         rng = np.random.default_rng(2)
@@ -531,10 +533,40 @@ class TestFakesReuse:
         _, _, _, (fake_I, fake_S) = fns.grad_gens(
             state.params, state.model_state, state.step, real_I, real_S, key,
             jnp.zeros((), jnp.float32))
-        # fake_S = gen_IS(real_I): check against a direct application with the
-        # same rng derivation (train=True threads dropout/noise keys)
-        assert fake_S.shape == real_S.shape and fake_I.shape == real_I.shape
-        assert not np.allclose(np.asarray(fake_S), np.asarray(fake_I))
+        want_S = models["gen_IS"].apply({"params": state.params["gen_IS"]}, real_I,
+                                        train=True, rngs={"dropout": key, "noise": key})
+        want_I = models["gen_SI"].apply({"params": state.params["gen_SI"]}, real_S,
+                                        train=True, rngs={"dropout": key, "noise": key})
+        np.testing.assert_allclose(np.asarray(fake_S), np.asarray(want_S), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fake_I), np.asarray(want_I), atol=1e-6)
+
+    @pytest.mark.quick
+    def test_disc_grads_identical_with_fakes_wgan_gp(self):
+        """Same identity on the WGAN-GP path: the gradient_penalty term also
+        consumes stop_gradient(fake) (training/step.py), so a fakes pull with
+        gp_scale active must reproduce the recomputing pull's disc grads."""
+        cfg = tiny_cfg(BATCH_SIZE=1, wasserstein=True)
+        models = tiny_models(deterministic=False, wasserstein=True)
+        fns = make_step_fns(cfg, models, steps_per_epoch=10)
+        state = fns.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        real_I = jnp.asarray(rng.normal(size=(1, *cfg.subvol_patch_shape)), jnp.float32)
+        real_S = jnp.asarray(
+            (rng.uniform(size=(1, *cfg.seg_subvol_patch_shape)) > 0.7) * 2.0 - 1.0, jnp.float32
+        )
+        key = jax.random.PRNGKey(11)
+        noise = jnp.asarray(0.05, jnp.float32)
+        step1 = jnp.ones((), jnp.int32)  # step > 0: GP active (vangan.py:410-415)
+
+        _, _, _, fakes = fns.grad_gens(state.params, state.model_state, step1,
+                                       real_I, real_S, key, noise)
+        g_reuse = fns.grad_discs(state.params, state.model_state, step1,
+                                 real_I, real_S, key, noise, fakes)
+        g_recompute = fns.grad_discs(state.params, state.model_state, step1,
+                                     real_I, real_S, key, noise)
+        for a, b in zip(jax.tree_util.tree_leaves(g_reuse),
+                        jax.tree_util.tree_leaves(g_recompute)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
 
 
 class TestFlattenedOptimizer:

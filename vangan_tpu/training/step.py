@@ -393,13 +393,14 @@ def make_step_fns(cfg, models: Dict[str, Any], steps_per_epoch: int) -> TrainSte
                 # DCE drop the duplicated generator forward (compute_losses
                 # docstring; gen pulls must recompute — grads flow through)
                 disc_only = fakes is not None and all(n.startswith("disc") for n in group)
+                first = result is None
 
                 def loss_for(sub, carrier=carrier, group=group,
-                             use_fakes=(fakes if disc_only else None)):
+                             use_fakes=(fakes if disc_only else None), first=first):
                     full = {**carrier, **{n: sub[n] for n in group}}
                     return compute_losses(full, state.model_state, real_I, real_S, step_rng,
                                           noise_std, True, gp_scale,
-                                          fakes=use_fakes, return_fakes=use_fakes is None)
+                                          fakes=use_fakes, return_fakes=first)
 
                 sub_params = {n: carrier[n] for n in group}
                 if result is None:
